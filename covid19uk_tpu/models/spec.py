@@ -1,0 +1,372 @@
+"""CovidUK model: priors + SEIR process as one pure log-density.
+
+Re-designs ``/root/reference/covid19uk/model_spec.py:139-299`` (a TFP
+``JointDistributionNamed``) as plain functions over pytrees:
+
+* covariates are pre-processed once into a :class:`ModelData` pytree
+  (mean-centred weekday/log-area, Cstar with its diagonal correction, CAR
+  precision Cholesky — all host-side, once);
+* the transition rates for *all* time steps are computed in one shot —
+  the spatial coupling ``Cstar @ (I_t / N)`` for every t is a single
+  ``[M, M] @ [M, T]`` matmul that XLA tiles onto the MXU;
+* the CAR spatial prior is evaluated in precision form (no matrix inverse,
+  no on-device Cholesky), analytically identical to the reference's
+  ``MultivariateNormalTriL(scale_tril=cholesky(inv(Dw - 0.25 W)))``
+  (``model_spec.py:171-186``).
+
+Parameter vector packing order matches the reference exactly
+(``inference/inference.py:285-300, 537-557``):
+
+    [psi, sigma_space, beta_area, gamma0, gamma1, alpha_0,
+     alpha_t (T-1), spatial_effect (M)]
+
+with softplus bijection on (psi, sigma_space) (``inference.py:525-535``).
+"""
+
+import math
+from typing import NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from covid19uk_tpu.models import seir
+
+_LOG_2PI = math.log(2.0 * math.pi)
+
+# Reference model_spec.py:258-266 adds 1e-9 to the infection rate.
+RATE_EPS = 1e-9
+# CAR prior autocorrelation parameter (model_spec.py:174).
+CAR_RHO = 0.25
+
+
+class ModelData(NamedTuple):
+    """Pre-processed covariates, ready for the device.
+
+    Attributes:
+      C: ``[M, M]`` raw commuting matrix (diag zeroed).
+      Cstar: ``[M, M]`` symmetrised commuting matrix with diagonal
+        ``-colsum(C)`` (model_spec.py:216-219).
+      W: ``[Tw]`` daily relative commute volume.
+      N: ``[M]`` population sizes.
+      weekday: ``[Twd]`` mean-centred weekday indicator (model_spec.py:224-225).
+      log_area: ``[M]`` mean-centred log(area / 1e8) (model_spec.py:228-230).
+      car_chol: ``[M, M]`` lower Cholesky factor of the CAR *precision*
+        ``Dw - rho * adjacency``.
+      car_logdet: scalar ``log det(precision)``.
+    """
+
+    C: jnp.ndarray
+    Cstar: jnp.ndarray
+    W: jnp.ndarray
+    N: jnp.ndarray
+    weekday: jnp.ndarray
+    log_area: jnp.ndarray
+    car_chol: jnp.ndarray
+    car_logdet: jnp.ndarray
+
+    @property
+    def num_locations(self):
+        return self.N.shape[0]
+
+    @classmethod
+    def create(cls, covariates, dtype=jnp.float32):
+        """Builds ModelData from a dict of raw covariate arrays.
+
+        Args:
+          covariates: mapping with keys ``C`` [M,M], ``W`` [Tw], ``N`` [M],
+            ``adjacency`` [M,M], ``weekday`` [Twd], ``area`` [M] — the
+            ``constant_data`` group written by the ETL
+            (reference ``model_spec.py:49-105``).
+          dtype: device dtype for all arrays.
+        """
+        C = np.asarray(covariates["C"], np.float64).copy()
+        np.fill_diagonal(C, 0.0)
+        Cstar = C + C.T
+        # reduce_sum(C, axis=-2) in the reference sums over the dest axis,
+        # i.e. column sums of C (model_spec.py:219).
+        np.fill_diagonal(Cstar, -C.sum(axis=-2))
+
+        weekday = np.asarray(covariates["weekday"], np.float64)
+        weekday = weekday - weekday.mean()
+
+        area = np.asarray(covariates["area"], np.float64)
+        log_area = np.log(area / 100000000.0)  # log area in 100 km^2
+        log_area = log_area - log_area.mean()
+
+        adjacency = np.asarray(covariates["adjacency"], np.float64)
+        Dw = np.diag(adjacency.sum(axis=-1))
+        precision = Dw - CAR_RHO * adjacency
+        car_chol = np.linalg.cholesky(precision)
+        car_logdet = 2.0 * np.sum(np.log(np.diag(car_chol)))
+
+        return cls(
+            C=jnp.asarray(C, dtype),
+            Cstar=jnp.asarray(Cstar, dtype),
+            W=jnp.asarray(np.squeeze(np.asarray(covariates["W"])), dtype),
+            N=jnp.asarray(np.squeeze(np.asarray(covariates["N"])), dtype),
+            weekday=jnp.asarray(weekday, dtype),
+            log_area=jnp.asarray(log_area, dtype),
+            car_chol=jnp.asarray(car_chol, dtype),
+            car_logdet=jnp.asarray(car_logdet, dtype),
+        )
+
+
+class Parameters(NamedTuple):
+    """Constrained model parameters (natural space)."""
+
+    psi: jnp.ndarray  # commuting infection scaling, > 0
+    sigma_space: jnp.ndarray  # CAR effect scale, > 0
+    beta_area: jnp.ndarray
+    gamma0: jnp.ndarray
+    gamma1: jnp.ndarray
+    alpha_0: jnp.ndarray
+    alpha_t: jnp.ndarray  # [T-1] random-walk increments
+    spatial_effect: jnp.ndarray  # [M]
+
+
+def pack_parameters(params: Parameters) -> jnp.ndarray:
+    """Flattens Parameters into the reference's vector order."""
+    scalars = jnp.stack(
+        [
+            params.psi,
+            params.sigma_space,
+            params.beta_area,
+            params.gamma0,
+            params.gamma1,
+            params.alpha_0,
+        ]
+    )
+    return jnp.concatenate([scalars, params.alpha_t, params.spatial_effect])
+
+
+def unpack_parameters(flat, num_steps, num_locations) -> Parameters:
+    """Inverse of :func:`pack_parameters` (reference inference.py:285-300)."""
+    T1 = num_steps - 1
+    return Parameters(
+        psi=flat[..., 0],
+        sigma_space=flat[..., 1],
+        beta_area=flat[..., 2],
+        gamma0=flat[..., 3],
+        gamma1=flat[..., 4],
+        alpha_0=flat[..., 5],
+        alpha_t=flat[..., 6 : 6 + T1],
+        spatial_effect=flat[..., 6 + T1 : 6 + T1 + num_locations],
+    )
+
+
+def constrain_parameters(u):
+    """Unconstrained vector -> constrained vector.
+
+    Softplus (with ``low=eps``) on the first two entries (psi, sigma_space),
+    identity elsewhere — the inverse of the reference bijector
+    ``Invert(Blockwise([Softplus(low=eps), Id, Id, Id]))``
+    (inference.py:525-535).
+    """
+    eps = jnp.finfo(u.dtype).eps
+    head = eps + jax.nn.softplus(u[..., :2])
+    return jnp.concatenate([head, u[..., 2:]], axis=-1)
+
+
+def unconstrain_parameters(x):
+    """Constrained vector -> unconstrained (inverse softplus on first two)."""
+    eps = jnp.finfo(x.dtype).eps
+    y = jnp.maximum(x[..., :2] - eps, jnp.finfo(x.dtype).tiny)
+    # softplus^{-1}(y) = y + log(-expm1(-y)), stable for both tails
+    head = y + jnp.log(-jnp.expm1(-y))
+    return jnp.concatenate([head, x[..., 2:]], axis=-1)
+
+
+def constrain_log_det_jacobian(u):
+    """log|det d constrain(u)/du| = sum log sigmoid(u_i) over softplus block."""
+    return jnp.sum(jax.nn.log_sigmoid(u[..., :2]), axis=-1)
+
+
+def _alpha_timeseries(alpha_0, alpha_t, t_abs):
+    """Reconstructs the random-walk log-rate at absolute times ``t_abs``.
+
+    Reference (model_spec.py:242-256): ``b_t = alpha_0 + cumsum(alpha_t)``;
+    at t==0 use alpha_0, else ``b[clip(t-1, 0, T-2)]``.
+    """
+    b = alpha_0 + jnp.cumsum(alpha_t)
+    idx = jnp.clip(t_abs - 1, 0, alpha_t.shape[0] - 1)
+    return jnp.where(t_abs == 0, alpha_0, b[idx])
+
+
+class CovidUK(NamedTuple):
+    """The generative model over ``[M, T, 3]`` event tensors.
+
+    A pure-function analogue of the reference's TFP JointDistributionNamed
+    (model_spec.py:139-299).  ``initial_step`` offsets the absolute time
+    index used to gather W / weekday / alpha_t, matching the reference's
+    clipped gathers (model_spec.py:232-256).
+    """
+
+    data: ModelData
+    initial_state: jnp.ndarray  # [M, S]
+    initial_step: int
+    num_steps: int
+
+    # ---------- rates ----------
+
+    def transition_rates(self, params: Parameters, state):
+        """Per-transition rates for all times at once.
+
+        Args:
+          params: Parameters.
+          state: ``[M, T, S]`` state timeseries (from compute_state).
+
+        Returns:
+          ``[M, T, X]`` rates (X = 3: S->E, E->I, I->R).
+
+        The spatial coupling for all times is one MXU matmul:
+        ``Cstar @ (I/N)`` with I/N shaped [M, T].
+        """
+        d = self.data
+        dtype = state.dtype
+        T = self.num_steps
+        t_abs = self.initial_step + jnp.arange(T)
+
+        w_t = d.W[jnp.clip(t_abs, 0, d.W.shape[0] - 1)]  # [T]
+        weekday_t = d.weekday[jnp.clip(t_abs, 0, d.weekday.shape[0] - 1)]
+        alpha = _alpha_timeseries(params.alpha_0, params.alpha_t, t_abs)  # [T]
+
+        eta = (
+            alpha[None, :]
+            + params.beta_area * d.log_area[:, None]
+            + params.sigma_space * params.spatial_effect[:, None]
+        )  # [M, T]
+
+        infectious = state[..., 2]  # [M, T]
+        commute = d.Cstar @ (infectious / d.N[:, None])  # [M,M]@[M,T] -> MXU
+        rate_se = (
+            jnp.exp(eta)
+            * (infectious + params.psi * w_t[None, :] * commute)
+            / d.N[:, None]
+            + RATE_EPS
+        )
+        rate_ei = jnp.full_like(rate_se, jnp.asarray(seir.NU, dtype))
+        rate_ir = jnp.broadcast_to(
+            jnp.exp(params.gamma0 + params.gamma1 * weekday_t)[None, :],
+            rate_se.shape,
+        )
+        return jnp.stack([rate_se, rate_ei, rate_ir], axis=-1)
+
+    def transition_rate_fn(self, params: Parameters):
+        """Single-step rate function ``(t, state[M,S]) -> [M, X]``.
+
+        Used by the sequential forward simulation; same math as
+        :meth:`transition_rates` restricted to one step.
+        """
+        d = self.data
+
+        def fn(t, state):
+            w_t = d.W[jnp.clip(t, 0, d.W.shape[0] - 1)]
+            weekday_t = d.weekday[jnp.clip(t, 0, d.weekday.shape[0] - 1)]
+            alpha = _alpha_timeseries(
+                params.alpha_0, params.alpha_t, jnp.asarray(t)
+            )
+            eta = (
+                alpha
+                + params.beta_area * d.log_area
+                + params.sigma_space * params.spatial_effect
+            )  # [M]
+            infectious = state[..., 2]
+            commute = d.Cstar @ (infectious / d.N)
+            rate_se = (
+                jnp.exp(eta)
+                * (infectious + params.psi * w_t * commute)
+                / d.N
+                + RATE_EPS
+            )
+            rate_ei = jnp.full_like(rate_se, seir.NU)
+            rate_ir = jnp.broadcast_to(
+                jnp.exp(params.gamma0 + params.gamma1 * weekday_t),
+                rate_se.shape,
+            )
+            return jnp.stack([rate_se, rate_ei, rate_ir], axis=-1)
+
+        return fn
+
+    # ---------- priors ----------
+
+    def log_prior(self, params: Parameters):
+        """Sum of prior log-densities (model_spec.py:140-198)."""
+        dtype = params.spatial_effect.dtype
+
+        def normal_lp(x, scale):
+            return -0.5 * (_LOG_2PI + 2.0 * math.log(scale)) - 0.5 * (
+                x / scale
+            ) ** 2
+
+        lp = normal_lp(params.alpha_0, 10.0)
+        lp += normal_lp(params.beta_area, 1.0)
+        # psi ~ Gamma(concentration=3, rate=10)
+        conc, rate = 3.0, 10.0
+        psi_safe = jnp.maximum(params.psi, jnp.finfo(dtype).tiny)
+        lp += (
+            conc * math.log(rate)
+            - math.lgamma(conc)
+            + (conc - 1.0) * jnp.log(psi_safe)
+            - rate * params.psi
+        )
+        # alpha_t ~ MVN(0, 0.005^2 I_{T-1})
+        lp += jnp.sum(normal_lp(params.alpha_t, 0.005))
+        # sigma_space ~ HalfNormal(0.1)
+        lp += (
+            0.5 * math.log(2.0 / math.pi)
+            - math.log(0.1)
+            - 0.5 * (params.sigma_space / 0.1) ** 2
+        )
+        # spatial_effect ~ CAR: precision form of MVNTriL(chol(inv(Dw-rho W)))
+        z = self.data.car_chol.T @ params.spatial_effect
+        M = self.data.num_locations
+        lp += (
+            0.5 * self.data.car_logdet
+            - 0.5 * M * _LOG_2PI
+            - 0.5 * jnp.sum(z**2)
+        )
+        lp += normal_lp(params.gamma0, 100.0)
+        lp += normal_lp(params.gamma1, 100.0)
+        return lp
+
+    # ---------- joint density ----------
+
+    def log_prob(self, params: Parameters, events):
+        """Joint log-density log p(params, events) — priors + chain binomial."""
+        state = seir.compute_state(self.initial_state, events)
+        rates = self.transition_rates(params, state)
+        ll = seir.chain_binomial_log_prob(
+            events, rates, self.initial_state
+        )
+        return self.log_prior(params) + ll
+
+    def joint_log_prob_unconstrained(self, u, events):
+        """log p in the HMC sampling space (reference inference.py:537-557).
+
+        ``u`` is the flat unconstrained parameter vector; adds the
+        log-det-Jacobian of the softplus block.
+        """
+        flat = constrain_parameters(u)
+        params = unpack_parameters(
+            flat, self.num_steps, self.data.num_locations
+        )
+        return self.log_prob(params, events) + constrain_log_det_jacobian(u)
+
+    # ---------- simulation ----------
+
+    def sample_seir(self, key, params: Parameters):
+        """Forward-simulates an event tensor given parameters."""
+        return seir.chain_binomial_sample(
+            key,
+            self.transition_rate_fn(params),
+            self.initial_state,
+            self.initial_step,
+            self.num_steps,
+        )
+
+    def sample_prior_alpha_t(self, key, dtype=jnp.float32):
+        """Draws alpha_t from its prior — used by out-of-sample prediction
+        (reference posterior/predict.py:40-48 deletes alpha_t so TFP
+        re-simulates it)."""
+        return 0.005 * jax.random.normal(key, (self.num_steps - 1,), dtype)
