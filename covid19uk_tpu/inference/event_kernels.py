@@ -1,0 +1,209 @@
+"""Jittable MH kernels on the latent ``[M, T, X]`` event tensor.
+
+TPU-native replacements for gemlib's ``UncalibratedEventTimesUpdate`` and
+``UncalibratedOccultUpdate`` (behavioral contract per call sites
+``/root/reference/covid19uk/inference/mcmc_kernel_factory.py:63-113`` and
+knobs in ``example_config.yaml:26-30``: dmax=84, nmax=25, m=2,
+occult_nmax=15, occult moves restricted to the last 21 days).
+
+Where gemlib constrains proposals to be valid-by-construction, we use
+**rejection-by-density**: the chain-binomial log-likelihood returns ``-inf``
+for any event tensor implying a negative compartment, so invalid proposals
+are rejected by the MH step.  Both kernels are exactly reversible: the
+Hastings correction accounts for the state-dependent proposal supports
+(number of nonzero source times, event-count caps).  Acceptance *rates*
+may differ from gemlib's proposal; the invariant distribution does not.
+
+All kernels are pure ``(key, events, logp, ...) -> (events', logp', info)``
+functions with fixed shapes — vmappable over chains, shardable over a mesh.
+"""
+
+from typing import Callable, NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+
+class EventMoveInfo(NamedTuple):
+    """Per-draw trace, mirroring the reference's
+    ``results/move|occult/*`` layout (inference.py:262-274)."""
+
+    is_accepted: jnp.ndarray
+    target_log_prob: jnp.ndarray
+    m: jnp.ndarray  # proposed location index/indices
+    t: jnp.ndarray  # proposed source time(s)
+    delta_t: jnp.ndarray  # time displacement (moves) or +/-1 (occults)
+    x_star: jnp.ndarray  # number of events moved/added/deleted
+
+
+def _uniform_nonzero_time(key, counts):
+    """Samples t uniformly from {t : counts[t] > 0} via the Gumbel trick.
+
+    Returns (t, n_nonzero).  If no nonzero entries, t is arbitrary and the
+    caller must mask on n_nonzero > 0.
+    """
+    mask = counts > 0
+    n_nonzero = jnp.sum(mask, axis=-1)
+    gumbel = jax.random.gumbel(key, counts.shape, counts.dtype)
+    logits = jnp.where(mask, 0.0, -jnp.inf)
+    t = jnp.argmax(logits + gumbel, axis=-1)
+    return t, n_nonzero
+
+
+def event_move_step(
+    key,
+    events,
+    current_logp,
+    logp_fn: Callable,
+    target_id: int,
+    dmax: int,
+    mmax: int,
+    nmax: int,
+):
+    """Moves up to ``nmax`` events of one transition in time, at ``mmax``
+    locations jointly (one MH accept/reject).
+
+    Proposal, per chosen location (locations uniform without replacement):
+      t_src  ~ Uniform{t : events[loc, t, target] > 0}   (null if none)
+      d      ~ Uniform{-dmax..-1, 1..dmax}
+      x      ~ Uniform{1 .. min(nmax, events[loc, t_src, target])}
+      move x events from t_src to t_src + d (reject if out of range).
+
+    Hastings ratio: product over locations of
+      [1/n_nonzero' * 1/min(nmax, count'_dst)] / [1/n_nonzero * 1/min(nmax, count_src)]
+    evaluated on the new/old tensors respectively (d-choice symmetric).
+    """
+    M, T, X = events.shape
+    dtype = events.dtype
+    k_loc, k_t, k_d, k_x, k_acc = jax.random.split(key, 5)
+
+    locs = jax.random.choice(k_loc, M, (mmax,), replace=False)
+    counts = events[locs, :, target_id]  # [mmax, T]
+    t_src, n_nonzero = _uniform_nonzero_time(k_t, counts)  # [mmax]
+    has_events = n_nonzero > 0
+
+    r = jax.random.randint(k_d, (mmax,), 0, 2 * dmax)
+    d = jnp.where(r < dmax, r - dmax, r - dmax + 1)  # skips 0
+
+    count_src = counts[jnp.arange(mmax), t_src]
+    cap_fwd = jnp.minimum(jnp.asarray(nmax, dtype), count_src)
+    x = jax.random.randint(
+        k_x, (mmax,), 1, jnp.maximum(cap_fwd, 1.0).astype(jnp.int32) + 1
+    ).astype(dtype)
+
+    t_dst = t_src + d
+    in_range = (t_dst >= 0) & (t_dst < T)
+    active = has_events & in_range
+    x_eff = jnp.where(active, x, 0.0)
+    t_dst_safe = jnp.clip(t_dst, 0, T - 1)
+
+    new_events = events.at[locs, t_src, target_id].add(-x_eff)
+    new_events = new_events.at[locs, t_dst_safe, target_id].add(x_eff)
+
+    new_logp = logp_fn(new_events)
+
+    # Hastings correction (only for active locations; null moves cancel).
+    counts_new = new_events[locs, :, target_id]
+    n_nonzero_new = jnp.sum(counts_new > 0, axis=-1)
+    count_dst_new = counts_new[jnp.arange(mmax), t_dst_safe]
+    cap_rev = jnp.minimum(jnp.asarray(nmax, dtype), count_dst_new)
+    log_q_fwd = -jnp.log(jnp.maximum(n_nonzero, 1)) - jnp.log(
+        jnp.maximum(cap_fwd, 1.0)
+    )
+    log_q_rev = -jnp.log(jnp.maximum(n_nonzero_new, 1)) - jnp.log(
+        jnp.maximum(cap_rev, 1.0)
+    )
+    hastings = jnp.sum(jnp.where(active, log_q_rev - log_q_fwd, 0.0))
+
+    # Proposals that try to move events out of range are rejected outright
+    # (any has_events location with !in_range invalidates the joint move,
+    # since the reverse proposal could not reproduce it).
+    proposal_ok = jnp.all(in_range | ~has_events)
+    log_alpha = jnp.where(
+        proposal_ok, new_logp - current_logp + hastings, -jnp.inf
+    )
+
+    u = jax.random.uniform(k_acc, (), dtype)
+    accepted = jnp.log(u) < log_alpha
+    events_out = jnp.where(accepted, new_events, events)
+    logp_out = jnp.where(accepted, new_logp, current_logp)
+    info = EventMoveInfo(
+        is_accepted=accepted,
+        target_log_prob=logp_out,
+        m=locs.astype(dtype),
+        t=t_src.astype(dtype),
+        delta_t=d.astype(dtype),
+        x_star=x_eff,
+    )
+    return events_out, logp_out, info
+
+
+def occult_step(
+    key,
+    events,
+    current_logp,
+    logp_fn: Callable,
+    target_id: int,
+    t_range,
+    nmax: int,
+):
+    """Adds or deletes unobserved ("occult") events of one transition.
+
+    Proposal: location ~ Uniform(M); t ~ Uniform[t_range); add/delete with
+    probability 1/2 each;
+      add:    x ~ Uniform{1..nmax}
+      delete: x ~ Uniform{1..min(nmax, events[loc, t, target])} (null if 0).
+    Reference contract: ``UncalibratedOccultUpdate`` with
+    ``t_range=[T-21, T)``, ``nmax=occult_nmax``
+    (mcmc_kernel_factory.py:89-113, inference.py:334-341).
+    """
+    M, T, X = events.shape
+    dtype = events.dtype
+    t_lo, t_hi = t_range
+    k_loc, k_t, k_dir, k_x, k_acc = jax.random.split(key, 5)
+
+    loc = jax.random.randint(k_loc, (), 0, M)
+    t = jax.random.randint(k_t, (), t_lo, t_hi)
+    is_add = jax.random.bernoulli(k_dir, 0.5)
+
+    count = events[loc, t, target_id]
+    cap_del = jnp.minimum(jnp.asarray(nmax, dtype), count)
+    x_add = jax.random.randint(k_x, (), 1, nmax + 1).astype(dtype)
+    x_del = jax.random.randint(
+        k_x, (), 1, jnp.maximum(cap_del, 1.0).astype(jnp.int32) + 1
+    ).astype(dtype)
+    can_delete = count > 0
+    x = jnp.where(is_add, x_add, jnp.where(can_delete, x_del, 0.0))
+    delta = jnp.where(is_add, x, -x)
+
+    new_events = events.at[loc, t, target_id].add(delta)
+    new_logp = logp_fn(new_events)
+
+    # Hastings: forward-add has q_x = 1/nmax, reverse-delete has
+    # q_x = 1/min(nmax, count + x); vice versa for forward-delete.
+    # Location/time/direction factors cancel.
+    log_h_add = jnp.log(jnp.asarray(nmax, dtype)) - jnp.log(
+        jnp.minimum(jnp.asarray(nmax, dtype), count + x_add)
+    )
+    log_h_del = jnp.log(jnp.maximum(cap_del, 1.0)) - jnp.log(
+        jnp.asarray(nmax, dtype)
+    )
+    hastings = jnp.where(is_add, log_h_add, log_h_del)
+
+    is_null = ~is_add & ~can_delete
+    log_alpha = jnp.where(
+        is_null, 0.0, new_logp - current_logp + hastings
+    )
+    u = jax.random.uniform(k_acc, (), dtype)
+    accepted = jnp.log(u) < log_alpha
+    events_out = jnp.where(accepted, new_events, events)
+    logp_out = jnp.where(accepted, new_logp, current_logp)
+    info = EventMoveInfo(
+        is_accepted=accepted,
+        target_log_prob=logp_out,
+        m=loc.astype(dtype),
+        t=t.astype(dtype),
+        delta_t=jnp.where(is_add, 1.0, -1.0).astype(dtype),
+        x_star=jnp.abs(delta),
+    )
+    return events_out, logp_out, info

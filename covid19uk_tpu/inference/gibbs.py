@@ -1,0 +1,134 @@
+"""Metropolis-within-Gibbs composition: HMC on parameters + event kernels.
+
+Replaces the reference's kernel stack (``inference/inference.py:86-101`` and
+``mcmc_kernel_factory.py:116-168``):
+
+    GibbsKernel([
+      (0, HMC on the flat unconstrained parameter vector),
+      (1, MultiScanKernel(num_event_time_updates,
+            GibbsKernel([move S->E, move E->I, occult S->E, occult E->I]))),
+    ])
+
+as one pure jittable function ``(key, state, tunables) -> (state, trace)``.
+Everything composes under ``vmap`` (chains) and ``shard_map`` (mesh).
+"""
+
+from typing import Callable, NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from covid19uk_tpu.inference import hmc
+from covid19uk_tpu.inference.event_kernels import (
+    EventMoveInfo,
+    event_move_step,
+    occult_step,
+)
+
+
+class ChainState(NamedTuple):
+    """One chain's state: flat unconstrained params + latent event tensor."""
+
+    u: jnp.ndarray  # [P]
+    events: jnp.ndarray  # [M, T, X]
+
+
+class HMCTunables(NamedTuple):
+    step_size: jnp.ndarray
+    inv_mass_diag: jnp.ndarray  # [P] posterior-variance estimate
+
+
+class StepTrace(NamedTuple):
+    """Per-draw trace mirroring the reference's results layout
+    (``inference.py:245-282``): hmc/* plus four event-kernel blocks."""
+
+    hmc: hmc.HMCInfo
+    move_se: EventMoveInfo
+    move_ei: EventMoveInfo
+    occult_se: EventMoveInfo
+    occult_ei: EventMoveInfo
+
+
+class EventKernelConfig(NamedTuple):
+    """Static knobs (example_config.yaml:26-30)."""
+
+    dmax: int = 84
+    mmax: int = 2
+    nmax: int = 25
+    occult_nmax: int = 15
+    num_event_time_updates: int = 5
+    t_range: tuple = (0, 0)  # (T-21, T) — set by the driver
+
+
+def make_mcmc_step(
+    joint_log_prob_fn: Callable,
+    num_leapfrog_steps: int,
+    event_config: EventKernelConfig,
+):
+    """Builds the full MCMC transition kernel.
+
+    Args:
+      joint_log_prob_fn: ``(u, events) -> scalar`` joint log density in the
+        unconstrained parameter space.
+      num_leapfrog_steps: static leapfrog count (reference: 16).
+      event_config: static event-kernel knobs.
+
+    Returns:
+      ``step(key, state: ChainState, tune: HMCTunables) -> (ChainState, StepTrace)``
+    """
+    cfg = event_config
+
+    def step(key, state: ChainState, tune: HMCTunables):
+        k_hmc, k_events = jax.random.split(key)
+
+        # --- position 0: HMC on params | events -------------------------
+        u_new, hmc_info = hmc.hmc_step(
+            k_hmc,
+            state.u,
+            lambda u: joint_log_prob_fn(u, state.events),
+            tune.step_size,
+            num_leapfrog_steps,
+            tune.inv_mass_diag,
+        )
+
+        # --- position 1: MultiScan x N of Gibbs over 4 event kernels ----
+        logp_fn = lambda ev: joint_log_prob_fn(u_new, ev)
+        logp0 = hmc_info.target_log_prob  # logp(u_new, old events)
+
+        def sweep(carry, k):
+            events, logp = carry
+            ka, kb, kc, kd = jax.random.split(k, 4)
+            events, logp, i_mse = event_move_step(
+                ka, events, logp, logp_fn, 0, cfg.dmax, cfg.mmax, cfg.nmax
+            )
+            events, logp, i_mei = event_move_step(
+                kb, events, logp, logp_fn, 1, cfg.dmax, cfg.mmax, cfg.nmax
+            )
+            events, logp, i_ose = occult_step(
+                kc, events, logp, logp_fn, 0, cfg.t_range, cfg.occult_nmax
+            )
+            events, logp, i_oei = occult_step(
+                kd, events, logp, logp_fn, 1, cfg.t_range, cfg.occult_nmax
+            )
+            return (events, logp), (i_mse, i_mei, i_ose, i_oei)
+
+        scan_keys = jax.random.split(
+            k_events, cfg.num_event_time_updates
+        )
+        (events_new, _), infos = jax.lax.scan(
+            sweep, (state.events, logp0), scan_keys
+        )
+        # MultiScanKernel returns the *last* scan's results
+        # (SURVEY.md §2.9; gemlib.MultiScanKernel contract).
+        last = jax.tree.map(lambda x: x[-1], infos)
+
+        trace = StepTrace(
+            hmc=hmc_info,
+            move_se=last[0],
+            move_ei=last[1],
+            occult_se=last[2],
+            occult_ei=last[3],
+        )
+        return ChainState(u=u_new, events=events_new), trace
+
+    return step

@@ -1,0 +1,92 @@
+"""Preconditioned Hamiltonian Monte Carlo with diagonal mass matrix.
+
+Functional replacement for TFP's ``PreconditionedHamiltonianMonteCarlo``
+as configured by the reference (``mcmc_kernel_factory.py:14-29``;
+step_size=0.1, num_leapfrog_steps=16, diagonal momentum distribution from
+mass-matrix adaptation).
+
+Pure function ``(key, position, ...) -> (position', info)``, vmappable over
+chains.  The mass matrix is parameterized by ``inv_mass_diag`` — the
+*inverse* mass, i.e. the estimated posterior variance (momentum ~
+N(0, diag(1/inv_mass_diag)), the optimum being mass = posterior precision).
+"""
+
+from typing import Callable, NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+
+class HMCInfo(NamedTuple):
+    is_accepted: jnp.ndarray
+    log_accept_ratio: jnp.ndarray
+    target_log_prob: jnp.ndarray  # of the (possibly rejected->old) state
+    step_size: jnp.ndarray
+
+
+def hmc_step(
+    key,
+    position,
+    logdensity_fn: Callable,
+    step_size,
+    num_leapfrog_steps: int,
+    inv_mass_diag=None,
+):
+    """One HMC transition.
+
+    Args:
+      key: PRNG key.
+      position: ``[P]`` flat position vector.
+      logdensity_fn: ``u -> scalar`` log target density.
+      step_size: scalar leapfrog step size.
+      num_leapfrog_steps: static int (reference uses 16).
+      inv_mass_diag: ``[P]`` inverse mass diagonal (posterior variance
+        estimate); identity if None.
+
+    Returns:
+      (new_position, HMCInfo)
+    """
+    dtype = position.dtype
+    if inv_mass_diag is None:
+        inv_mass_diag = jnp.ones_like(position)
+    key_mom, key_acc = jax.random.split(key)
+
+    logp0, grad0 = jax.value_and_grad(logdensity_fn)(position)
+
+    # momentum ~ N(0, mass); sample via z / sqrt(inv_mass)
+    z = jax.random.normal(key_mom, position.shape, dtype)
+    momentum = z * jax.lax.rsqrt(inv_mass_diag)
+
+    def kinetic(p):
+        return 0.5 * jnp.sum(p * p * inv_mass_diag)
+
+    def leapfrog(carry, _):
+        q, p, grad = carry
+        p = p + 0.5 * step_size * grad
+        q = q + step_size * inv_mass_diag * p
+        logp, grad = jax.value_and_grad(logdensity_fn)(q)
+        p = p + 0.5 * step_size * grad
+        return (q, p, grad), logp
+
+    (q_new, p_new, _), logps = jax.lax.scan(
+        leapfrog, (position, momentum, grad0), None, length=num_leapfrog_steps
+    )
+    logp_new = logps[-1]
+
+    energy0 = -logp0 + kinetic(momentum)
+    energy1 = -logp_new + kinetic(p_new)
+    # NaN-safe: treat non-finite proposals as -inf acceptance
+    log_accept_ratio = jnp.where(
+        jnp.isfinite(energy1), energy0 - energy1, -jnp.inf
+    )
+    accept_prob = jnp.minimum(1.0, jnp.exp(log_accept_ratio))
+    u = jax.random.uniform(key_acc, (), dtype)
+    accepted = u < accept_prob
+    new_position = jnp.where(accepted, q_new, position)
+    info = HMCInfo(
+        is_accepted=accepted,
+        log_accept_ratio=log_accept_ratio,
+        target_log_prob=jnp.where(accepted, logp_new, logp0),
+        step_size=jnp.asarray(step_size, dtype),
+    )
+    return new_position, info

@@ -1,0 +1,288 @@
+"""Statistical correctness tests for the MCMC kernels.
+
+The event-kernel tests are *exact stationarity* checks: on a tiny event
+tensor the kernel's reachable state space is enumerable, so we compare the
+empirical occupancy of a long chain against the true normalized target.
+This is a much sharper test than acceptance-rate eyeballing — any Hastings
+factor error fails it immediately.
+"""
+
+import itertools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from covid19uk_tpu.inference import dual_averaging, welford
+from covid19uk_tpu.inference.hmc import hmc_step
+from covid19uk_tpu.inference.event_kernels import event_move_step, occult_step
+
+
+# ---------------------------------------------------------------- welford
+
+
+def test_welford_matches_numpy(rng):
+    xs = rng.normal(2.0, 3.0, size=(500, 4))
+    st = welford.init((4,), jnp.float64)
+    for x in xs:
+        st = welford.update(st, jnp.asarray(x))
+    np.testing.assert_allclose(
+        np.asarray(st.mean), xs.mean(0), rtol=1e-10
+    )
+    np.testing.assert_allclose(
+        np.asarray(welford.variance(st)), xs.var(0), rtol=1e-10
+    )
+
+
+def test_welford_from_draws_uses_last_half(rng):
+    draws = rng.normal(size=(100, 3))
+    st = welford.from_draws(jnp.asarray(draws))
+    np.testing.assert_allclose(
+        np.asarray(st.mean), draws[50:].mean(0), rtol=1e-10
+    )
+    np.testing.assert_allclose(
+        np.asarray(welford.variance(st)), draws[50:].var(0), rtol=1e-10
+    )
+
+
+# ---------------------------------------------------------------- HMC
+
+
+def test_hmc_recovers_gaussian_moments():
+    cov = np.array([[2.0, 0.8], [0.8, 1.0]])
+    prec = np.linalg.inv(cov)
+
+    def logp(x):
+        return -0.5 * x @ jnp.asarray(prec) @ x
+
+    step_size = 0.4
+    n = 4000
+
+    def body(carry, key):
+        x = carry
+        x, info = hmc_step(key, x, logp, step_size, 8)
+        return x, (x, info.is_accepted)
+
+    keys = jax.random.split(jax.random.PRNGKey(0), n)
+    _, (draws, accepted) = jax.lax.scan(
+        body, jnp.zeros(2, jnp.float64), keys
+    )
+    draws = np.asarray(draws[500:])
+    assert 0.6 < np.asarray(accepted).mean() <= 1.0
+    np.testing.assert_allclose(draws.mean(0), [0, 0], atol=0.15)
+    np.testing.assert_allclose(np.cov(draws.T), cov, atol=0.3)
+
+
+def test_hmc_preconditioning_improves_scale_mismatch():
+    """With inv_mass = posterior variance, HMC mixes across a 1e4 scale gap."""
+    scales = jnp.asarray(np.array([100.0, 0.01]), jnp.float64)
+
+    def logp(x):
+        return -0.5 * jnp.sum((x / scales) ** 2)
+
+    inv_mass = scales**2
+
+    def body(x, key):
+        x, info = hmc_step(key, x, logp, 0.5, 8, inv_mass)
+        return x, (x, info.is_accepted)
+
+    keys = jax.random.split(jax.random.PRNGKey(1), 3000)
+    _, (draws, acc) = jax.lax.scan(body, jnp.zeros(2, jnp.float64), keys)
+    draws = np.asarray(draws[500:])
+    assert np.asarray(acc).mean() > 0.5
+    np.testing.assert_allclose(
+        draws.std(0), np.asarray(scales), rtol=0.2
+    )
+
+
+def test_dual_averaging_hits_target_accept():
+    def logp(x):
+        return -0.5 * jnp.sum(x**2)
+
+    da = dual_averaging.init(1.0, jnp.float64)
+
+    def body(carry, key):
+        x, da = carry
+        x, info = hmc_step(
+            key, x, logp, dual_averaging.step_size(da), 8
+        )
+        da = dual_averaging.update(
+            da, jnp.minimum(1.0, jnp.exp(info.log_accept_ratio))
+        )
+        return (x, da), info.is_accepted
+
+    keys = jax.random.split(jax.random.PRNGKey(2), 600)
+    (_, da), accepted = jax.lax.scan(
+        body, (jnp.zeros(3, jnp.float64), da), keys
+    )
+    late_accept = np.asarray(accepted)[-300:].mean()
+    assert 0.6 < late_accept < 0.9  # targets 0.75
+
+
+# ------------------------------------------------- event kernel stationarity
+
+
+def _enumerate_compositions(total, length):
+    """All ways to place `total` indistinct events into `length` cells."""
+    for cuts in itertools.combinations(range(total + length - 1), length - 1):
+        prev = -1
+        out = []
+        for c in cuts + (total + length - 1,):
+            out.append(c - prev - 1)
+            prev = c
+        yield tuple(out)
+
+
+def test_event_move_kernel_exact_stationarity():
+    """Move kernel preserves an enumerable target distribution exactly.
+
+    M=1 location, T=4 times, 3 total events of type 0 => 20 states.
+    Target: arbitrary smooth positive weights.  Chi-square the occupancy.
+    """
+    T, total = 4, 3
+    w = jnp.asarray(np.array([0.2, 1.0, -0.5, 0.7]), jnp.float64)
+
+    def logp_fn(events):
+        c = events[0, :, 0]
+        return jnp.sum(c * w) - 0.1 * jnp.sum(c**2)
+
+    states = list(_enumerate_compositions(total, T))
+    state_idx = {s: i for i, s in enumerate(states)}
+    logps = np.array(
+        [
+            float(
+                logp_fn(
+                    jnp.zeros((1, T, 3), jnp.float64)
+                    .at[0, :, 0]
+                    .set(jnp.asarray(np.array(s), jnp.float64))
+                )
+            )
+            for s in states
+        ]
+    )
+    target = np.exp(logps - logps.max())
+    target /= target.sum()
+
+    init = jnp.zeros((1, T, 3), jnp.float64).at[0, :, 0].set(
+        jnp.asarray(np.array(states[0]), jnp.float64)
+    )
+
+    def body(carry, key):
+        events, logp = carry
+        events, logp, info = event_move_step(
+            key, events, logp, logp_fn, 0, dmax=3, mmax=1, nmax=2
+        )
+        return (events, logp), events[0, :, 0]
+
+    n = 40000
+    keys = jax.random.split(jax.random.PRNGKey(3), n)
+    (_, _), trace = jax.lax.scan(body, (init, logp_fn(init)), keys)
+    trace = np.asarray(trace[2000:]).astype(int)
+
+    counts = np.zeros(len(states))
+    for row in trace:
+        counts[state_idx[tuple(row)]] += 1
+    freq = counts / counts.sum()
+    # total-variation distance small
+    tv = 0.5 * np.abs(freq - target).sum()
+    assert tv < 0.03, (tv, freq, target)
+
+
+def test_occult_kernel_exact_stationarity():
+    """Occult add/delete kernel preserves an enumerable target exactly.
+
+    M=1, T=4, t_range=(2,4): the kernel touches cells (0,2,0) and (0,3,0).
+    Target caps counts at 4 => 25 states.
+    """
+    T = 4
+    cap = 4.0
+
+    def logp_fn(events):
+        c2, c3 = events[0, 2, 0], events[0, 3, 0]
+        ok = (c2 <= cap) & (c3 <= cap)
+        val = 0.8 * c2 - 0.3 * c3 - 0.15 * (c2 - c3) ** 2
+        return jnp.where(ok, val, -jnp.inf)
+
+    states = list(itertools.product(range(int(cap) + 1), repeat=2))
+    logps = np.array(
+        [
+            float(
+                logp_fn(
+                    jnp.zeros((1, T, 3), jnp.float64)
+                    .at[0, 2, 0].set(float(a))
+                    .at[0, 3, 0].set(float(b))
+                )
+            )
+            for a, b in states
+        ]
+    )
+    target = np.exp(logps - logps.max())
+    target /= target.sum()
+
+    init = jnp.zeros((1, T, 3), jnp.float64)
+
+    def body(carry, key):
+        events, logp = carry
+        events, logp, info = occult_step(
+            key, events, logp, logp_fn, 0, t_range=(2, 4), nmax=3
+        )
+        return (events, logp), (events[0, 2, 0], events[0, 3, 0])
+
+    n = 60000
+    keys = jax.random.split(jax.random.PRNGKey(4), n)
+    (_, _), trace = jax.lax.scan(body, (init, logp_fn(init)), keys)
+    a = np.asarray(trace[0][3000:]).astype(int)
+    b = np.asarray(trace[1][3000:]).astype(int)
+
+    counts = np.zeros(len(states))
+    idx = {s: i for i, s in enumerate(states)}
+    for pair in zip(a, b):
+        counts[idx[pair]] += 1
+    freq = counts / counts.sum()
+    tv = 0.5 * np.abs(freq - target).sum()
+    assert tv < 0.03, (tv, freq.round(3), target.round(3))
+
+
+def test_event_move_conserves_totals_and_validity(rng):
+    """On the real model: moves conserve per-type totals, never touch I->R,
+    and the state never goes negative."""
+    from covid19uk_tpu.models import seir
+    from covid19uk_tpu.models.spec import CovidUK
+    from tests.test_spec import make_test_data, make_test_params
+
+    M, T = 5, 12
+    data = make_test_data(rng, M, T)
+    params = make_test_params(rng, M, T)
+    N = np.asarray(data.N)
+    init = np.stack(
+        [N - 50, np.full(M, 20.0), np.full(M, 30.0), np.zeros(M)], -1
+    )
+    model = CovidUK(data, jnp.asarray(init, jnp.float64), 0, T)
+    events = model.sample_seir(jax.random.PRNGKey(5), params)
+
+    logp_fn = lambda ev: model.log_prob(params, ev)
+    logp = logp_fn(events)
+
+    def body(carry, key):
+        ev, lp = carry
+        k1, k2, k3 = jax.random.split(key, 3)
+        ev, lp, _ = event_move_step(k1, ev, lp, logp_fn, 0, 5, 2, 10)
+        ev, lp, _ = event_move_step(k2, ev, lp, logp_fn, 1, 5, 2, 10)
+        ev, lp, _ = occult_step(k3, ev, lp, logp_fn, 0, (T - 4, T), 5)
+        return (ev, lp), None
+
+    keys = jax.random.split(jax.random.PRNGKey(6), 200)
+    (ev_out, lp_out), _ = jax.lax.scan(body, (events, logp), keys)
+
+    ev0, ev1 = np.asarray(events), np.asarray(ev_out)
+    # I->R slice untouched (observed data)
+    np.testing.assert_array_equal(ev0[..., 2], ev1[..., 2])
+    # E->I totals conserved (only move kernel touches type 1 here)
+    np.testing.assert_allclose(ev0[..., 1].sum(), ev1[..., 1].sum())
+    # validity invariant
+    state = np.asarray(seir.compute_state(model.initial_state, ev_out))
+    assert state.min() >= 0
+    assert np.isfinite(float(lp_out))
+    # the chain moved
+    assert not np.array_equal(ev0[..., 0], ev1[..., 0])
