@@ -1,0 +1,405 @@
+"""Top-level MCMC driver: warmup windows, sampling bursts, posterior store.
+
+Replaces ``/root/reference/covid19uk/inference/inference.py:303-608``.
+Differences from the reference (all capability supersets):
+
+* **multi-chain by construction**: ``num_chains`` chains run vmapped in one
+  XLA program per window/burst; with one chain the output layout matches the
+  reference exactly, with several the datasets gain a chain axis.
+* **checkpoint/resume**: full sampler state serialized per burst
+  (the reference loses the whole run on preemption, SURVEY.md §5).
+* adaptation runs inside the jitted window scan — no host round-trip per
+  draw, only per window/burst.
+"""
+
+import sys
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from covid19uk_tpu.models import seir
+from covid19uk_tpu.models.spec import (
+    CovidUK,
+    ModelData,
+    constrain_parameters,
+)
+from covid19uk_tpu.inference import dual_averaging, welford
+from covid19uk_tpu.inference.gibbs import (
+    ChainState,
+    EventKernelConfig,
+    make_mcmc_step,
+)
+from covid19uk_tpu.inference.warmup import (
+    WarmupSchedule,
+    make_fixed_runner,
+    make_window_runner,
+)
+from covid19uk_tpu.utils import checkpoint as ckpt
+from covid19uk_tpu.utils import impute, ncio
+from covid19uk_tpu.utils.store import Posterior
+
+NUM_LEAPFROG_STEPS = 16  # reference inference.py:326
+INITIAL_STEP_SIZE = 0.1  # reference inference.py:325
+
+
+def _log(msg):
+    print(msg, file=sys.stderr, flush=True)
+
+
+def draws_to_dict(u_constrained, events, num_steps, num_locations):
+    """Splits flat constrained parameter draws into the reference's named
+    sample layout (inference.py:285-300)."""
+    T1 = num_steps - 1
+    return {
+        "psi": u_constrained[..., 0],
+        "sigma_space": u_constrained[..., 1],
+        "beta_area": u_constrained[..., 2],
+        "gamma0": u_constrained[..., 3],
+        "gamma1": u_constrained[..., 4],
+        "alpha_0": u_constrained[..., 5],
+        "alpha_t": u_constrained[..., 6 : 6 + T1],
+        "spatial_effect": u_constrained[..., 6 + T1 : 6 + T1 + num_locations],
+        "seir": events,
+    }
+
+
+def _move_results(info, per_location):
+    """Mirrors the reference's per-kernel results (inference.py:262-274).
+
+    ``per_location``: move kernels carry an [mmax] payload per draw (stack
+    the 4 fields one axis in); occult kernels carry scalars (stack at -1).
+    """
+    fields = [
+        np.asarray(info.m),
+        np.asarray(info.t),
+        np.asarray(info.delta_t),
+        np.asarray(info.x_star),
+    ]
+    return {
+        "is_accepted": np.asarray(info.is_accepted),
+        "target_log_prob": np.asarray(info.target_log_prob),
+        "proposed_delta": np.stack(fields, axis=-2 if per_location else -1),
+    }
+
+
+def trace_to_results(traces, squeeze_chain):
+    """StepTrace pytree (stacked over draws [, chains]) -> nested dict."""
+
+    def fix(x):
+        x = np.asarray(x)
+        if squeeze_chain:
+            x = x[:, 0] if x.ndim > 1 else x
+        return x
+
+    traces = jax.tree.map(fix, traces)
+    return {
+        "hmc": {
+            "is_accepted": np.asarray(traces.hmc.is_accepted),
+            "target_log_prob": np.asarray(traces.hmc.target_log_prob),
+            "step_size": np.asarray(traces.hmc.step_size),
+        },
+        "move/S->E": _move_results(traces.move_se, per_location=True),
+        "move/E->I": _move_results(traces.move_ei, per_location=True),
+        "occult/S->E": _move_results(traces.occult_se, per_location=False),
+        "occult/E->I": _move_results(traces.occult_ei, per_location=False),
+    }
+
+
+class _Batched(NamedTuple):
+    """Per-chain adaptation state bundle."""
+
+    da: object
+    wf: object
+    inv_mass: jnp.ndarray
+
+
+def run_mcmc(
+    model: CovidUK,
+    initial_chain_state: ChainState,
+    event_config: EventKernelConfig,
+    config,
+    output_file,
+    num_chains=1,
+    seed=1,
+    schedule=None,
+    checkpoint_path=None,
+):
+    """Runs warmup + bursts, writing every draw to the posterior file.
+
+    Args:
+      model: CovidUK model.
+      initial_chain_state: single-chain ChainState (replicated over chains).
+      event_config: event-kernel knobs with t_range set.
+      config: dict with num_bursts / num_burst_samples / thin.
+      output_file: posterior HDF5 path.
+      num_chains: chains run in one vmapped program.
+      seed: PRNG seed.
+      schedule: WarmupSchedule (reference defaults if None).
+      checkpoint_path: optional path for burst-granular resume.
+
+    Returns:
+      the Posterior store (open).
+    """
+    schedule = schedule or WarmupSchedule()
+    C = num_chains
+    dtype = initial_chain_state.u.dtype
+    T, M = model.num_steps, model.data.num_locations
+    P = initial_chain_state.u.shape[-1]
+
+    step = make_mcmc_step(
+        model.joint_log_prob_unconstrained, NUM_LEAPFROG_STEPS, event_config
+    )
+
+    # Replicate the single-chain init over the chain axis.
+    state = jax.tree.map(
+        lambda x: jnp.broadcast_to(x, (C,) + x.shape), initial_chain_state
+    )
+    key = jax.random.PRNGKey(seed)
+
+    squeeze = C == 1
+
+    def to_samples(draws):
+        u_con = constrain_parameters(draws.u)  # [n, C, P]
+        u_np, ev_np = np.asarray(u_con), np.asarray(draws.events)
+        if squeeze:
+            u_np, ev_np = u_np[:, 0], ev_np[:, 0]
+        return draws_to_dict(u_np, ev_np, T, M)
+
+    # ---- posterior store (preallocate via shape templates) --------------
+    num_samples = schedule.total + config["num_burst_samples"] * config[
+        "num_bursts"
+    ]
+    chain_shape = () if squeeze else (C,)
+    np_dtype = np.float64 if dtype == jnp.float64 else np.float32
+    sample_template = draws_to_dict(
+        np.zeros((1,) + chain_shape + (P,), np_dtype),
+        np.zeros((1,) + chain_shape + (M, T, 3), np_dtype),
+        T,
+        M,
+    )
+    move_t = {
+        "is_accepted": np.zeros((1,) + chain_shape, bool),
+        "target_log_prob": np.zeros((1,) + chain_shape, np_dtype),
+        "proposed_delta": np.zeros(
+            (1,) + chain_shape + (4, event_config.mmax), np_dtype
+        ),
+    }
+    occ_t = {
+        "is_accepted": np.zeros((1,) + chain_shape, bool),
+        "target_log_prob": np.zeros((1,) + chain_shape, np_dtype),
+        "proposed_delta": np.zeros((1,) + chain_shape + (4,), np_dtype),
+    }
+    results_template = {
+        "hmc": {
+            "is_accepted": np.zeros((1,) + chain_shape, bool),
+            "target_log_prob": np.zeros((1,) + chain_shape, np_dtype),
+            "step_size": np.zeros((1,) + chain_shape, np_dtype),
+        },
+        "move/S->E": move_t,
+        "move/E->I": dict(move_t),
+        "occult/S->E": occ_t,
+        "occult/E->I": dict(occ_t),
+    }
+    posterior = Posterior(
+        output_file, sample_template, results_template, num_samples
+    )
+    offset = 0
+
+    # ---- adaptation state ------------------------------------------------
+    da = jax.vmap(lambda _: dual_averaging.init(INITIAL_STEP_SIZE, dtype))(
+        jnp.arange(C)
+    )
+    wf = jax.vmap(lambda _: welford.init((P,), dtype))(jnp.arange(C))
+    inv_mass = jnp.ones((C, P), dtype)
+
+    def window(num_draws, adapt_mass):
+        run = make_window_runner(step, num_draws, adapt_mass)
+        return jax.jit(jax.vmap(run))
+
+    def write(draws, traces):
+        nonlocal offset
+        # draws come chain-major from vmap: [C, n, ...] -> [n, C, ...]
+        draws = jax.tree.map(lambda x: jnp.swapaxes(x, 0, 1), draws)
+        traces = jax.tree.map(lambda x: np.swapaxes(np.asarray(x), 0, 1), traces)
+        posterior.write_samples(to_samples(draws), first_dim_offset=offset)
+        posterior.write_results(
+            trace_to_results(traces, squeeze), first_dim_offset=offset
+        )
+        offset += np.asarray(draws.u).shape[0]
+
+    # ---- fast window ------------------------------------------------------
+    _log(f"Fast window {schedule.first_window}")
+    key, sub = jax.random.split(key)
+    state, da, wf, inv_mass, draws, traces = window(
+        schedule.first_window, adapt_mass=False
+    )(jax.random.split(sub, C), state, da, wf, inv_mass)
+    write(draws, traces)
+    step_size = dual_averaging.step_size(da)
+    # draws.u is chain-major [C, n, P]; seed Welford per chain from the
+    # window's last half (reference inference.py:36-47,119).
+    wf = jax.vmap(welford.from_draws)(draws.u)
+    from covid19uk_tpu.inference.warmup import regularized_variance
+
+    inv_mass = jax.vmap(regularized_variance)(wf)
+
+    # ---- slow windows ------------------------------------------------------
+    for k in range(schedule.num_slow_windows):
+        n = schedule.slow_window * (2**k)
+        _log(f"Slow window {n}")
+        key, sub = jax.random.split(key)
+        da = jax.vmap(lambda s: dual_averaging.init(s, dtype))(step_size)
+        state, da, wf, inv_mass, draws, traces = window(n, adapt_mass=True)(
+            jax.random.split(sub, C), state, da, wf, inv_mass
+        )
+        write(draws, traces)
+        step_size = dual_averaging.step_size(da)
+        wf = jax.vmap(welford.from_draws)(draws.u)
+
+    # ---- final fast window --------------------------------------------------
+    _log(f"Fast window {schedule.last_window}")
+    key, sub = jax.random.split(key)
+    da = jax.vmap(lambda s: dual_averaging.init(s, dtype))(step_size)
+    state, da, wf_unused, inv_mass, draws, traces = window(
+        schedule.last_window, adapt_mass=False
+    )(jax.random.split(sub, C), state, da, wf, inv_mass)
+    write(draws, traces)
+    # final step size: mean over last half of the window's trace
+    # (reference inference.py:439-441)
+    ss_trace = traces.hmc.step_size  # [C, n]
+    step_size = jnp.mean(ss_trace[:, schedule.last_window // 2 :], axis=1)
+
+    # ---- sampling bursts ------------------------------------------------------
+    _log("Sampling...")
+    burst = jax.jit(
+        jax.vmap(make_fixed_runner(step, config["num_burst_samples"]))
+    )
+    start_burst = 0
+    if checkpoint_path and ckpt.exists(checkpoint_path):
+        state, key, step_size, inv_mass, offset, extra = ckpt.load(
+            checkpoint_path, state
+        )
+        state = jax.tree.map(jnp.asarray, state)
+        key, step_size, inv_mass = (
+            jnp.asarray(key),
+            jnp.asarray(step_size),
+            jnp.asarray(inv_mass),
+        )
+        start_burst = int(extra.get("burst", 0))
+        _log(f"Resumed from checkpoint at burst {start_burst}")
+
+    for b in range(start_burst, config["num_bursts"]):
+        key, sub = jax.random.split(key)
+        state, draws, traces = burst(
+            jax.random.split(sub, C), state, step_size, inv_mass
+        )
+        write(draws, traces)
+        if checkpoint_path:
+            ckpt.save(
+                checkpoint_path,
+                state=state,
+                key=key,
+                step_size=step_size,
+                inv_mass_diag=inv_mass,
+                offset=offset,
+                extra={"burst": b + 1},
+            )
+        _log(f"burst {b + 1}/{config['num_bursts']}")
+
+    return posterior
+
+
+def mcmc(data_file, output_file, config):
+    """Constructs and runs the MCMC (reference inference.py:473-608).
+
+    Args:
+      data_file: HDF5 with groups ``constant_data`` and ``observations``.
+      output_file: posterior HDF5 output path.
+      config: the ``Mcmc`` config section (example_config.yaml:25-34), plus
+        optional extras: num_chains, dtype, seed, checkpoint.
+    """
+    dtype = jnp.float64 if config.get("dtype") == "float64" else jnp.float32
+
+    constant_data = ncio.load_group(data_file, "constant_data")
+    observations = ncio.load_group(data_file, "observations")
+    cases = np.asarray(observations["cases"], np.float64)  # [M, T0]
+    dates = observations.coords.get("time")
+
+    # Tile the last week 3x as an occult-initialization runway
+    # (reference inference.py:490-492).
+    cases_ext = np.concatenate([cases, np.tile(cases[:, -7:], (1, 3))], axis=1)
+    events_full = impute.impute_censored_events(
+        cases_ext, seed=config.get("seed", 0)
+    )
+
+    # Initial state at the inference start (reference inference.py:500-513).
+    N = np.squeeze(np.asarray(constant_data["N"], np.float64))
+    init0 = np.concatenate(
+        [N[:, None], np.zeros((N.shape[0], 3))], axis=-1
+    )
+    state_full = np.asarray(
+        seir.compute_state(
+            jnp.asarray(init0, jnp.float64), jnp.asarray(events_full)
+        )
+    )
+    start_time = state_full.shape[1] - cases_ext.shape[1]
+    initial_state = state_full[:, start_time, :]
+    events = events_full[:, start_time:-21, :]  # clip the runway
+
+    T = events.shape[1]
+    M = events.shape[0]
+
+    data = ModelData.create(constant_data.variables, dtype)
+    model = CovidUK(
+        data=data,
+        initial_state=jnp.asarray(initial_state, dtype),
+        initial_step=0,
+        num_steps=T,
+    )
+
+    event_config = EventKernelConfig(
+        dmax=config["dmax"],
+        mmax=config["m"],
+        nmax=config["nmax"],
+        occult_nmax=config["occult_nmax"],
+        num_event_time_updates=config["num_event_time_updates"],
+        t_range=(T - 21, T),
+    )
+
+    u0 = jnp.zeros((6 + (T - 1) + M,), dtype)  # reference inference.py:563-576
+    chain_state = ChainState(u=u0, events=jnp.asarray(events, dtype))
+
+    lp0 = model.joint_log_prob_unconstrained(chain_state.u, chain_state.events)
+    print("Initial logpi:", float(lp0), flush=True)
+
+    schedule = (
+        WarmupSchedule(**config["warmup"]) if "warmup" in config else None
+    )
+    posterior = run_mcmc(
+        model,
+        chain_state,
+        event_config,
+        config,
+        output_file,
+        num_chains=config.get("num_chains", 1),
+        seed=config.get("seed", 1),
+        schedule=schedule,
+        checkpoint_path=config.get("checkpoint"),
+    )
+    posterior.create_dataset("initial_state", initial_state)
+    if dates is not None:
+        posterior.create_dataset(
+            "time", np.asarray(dates).astype("datetime64[D]").astype(str).astype("S")
+        )
+
+    for name, key_ in [
+        ("theta", "results/hmc/is_accepted"),
+        ("move S->E", "results/move/S->E/is_accepted"),
+        ("move E->I", "results/move/E->I/is_accepted"),
+        ("occult S->E", "results/occult/S->E/is_accepted"),
+        ("occult E->I", "results/occult/E->I/is_accepted"),
+    ]:
+        print(f"Acceptance {name}: {posterior[key_][:].mean()}")
+
+    posterior.close()
