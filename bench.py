@@ -51,7 +51,7 @@ def build(nchains, dtype_name="float32"):
         dmax=84, mmax=2, nmax=25, occult_nmax=15,
         num_event_time_updates=5, t_range=(T - 21, T),
     )
-    step = make_mcmc_step(model.joint_log_prob_unconstrained, 16, cfg)
+    step = make_mcmc_step(model, 16, cfg)
 
     def many(keys, state, tune):
         return jax.vmap(step)(keys, state, tune)

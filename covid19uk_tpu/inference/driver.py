@@ -148,9 +148,7 @@ def run_mcmc(
     T, M = model.num_steps, model.data.num_locations
     P = initial_chain_state.u.shape[-1]
 
-    step = make_mcmc_step(
-        model.joint_log_prob_unconstrained, NUM_LEAPFROG_STEPS, event_config
-    )
+    step = make_mcmc_step(model, NUM_LEAPFROG_STEPS, event_config)
 
     # Replicate the single-chain init over the chain axis.
     state = jax.tree.map(

@@ -14,14 +14,22 @@ Hastings correction accounts for the state-dependent proposal supports
 (number of nonzero source times, event-count caps).  Acceptance *rates*
 may differ from gemlib's proposal; the invariant distribution does not.
 
-All kernels are pure ``(key, events, logp, ...) -> (events', logp', info)``
-functions with fixed shapes — vmappable over chains, shardable over a mesh.
+Likelihood changes are computed through an *evaluator*
+(:mod:`covid19uk_tpu.inference.likelihood`): either full re-evaluation
+(generic, O(M*T) — used by the stationarity unit tests) or windowed delta
+evaluation (model-specific, O(window) — the production path).  A ``state``
+tensor is threaded alongside the events and kept incrementally consistent.
+
+All kernels are pure fixed-shape functions — vmappable over chains,
+shardable over a mesh.
 """
 
-from typing import Callable, NamedTuple
+from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
+
+from covid19uk_tpu.inference.likelihood import apply_event_delta
 
 
 class EventMoveInfo(NamedTuple):
@@ -53,8 +61,9 @@ def _uniform_nonzero_time(key, counts):
 def event_move_step(
     key,
     events,
+    state,
     current_logp,
-    logp_fn: Callable,
+    evaluator,
     target_id: int,
     dmax: int,
     mmax: int,
@@ -70,8 +79,12 @@ def event_move_step(
       move x events from t_src to t_src + d (reject if out of range).
 
     Hastings ratio: product over locations of
-      [1/n_nonzero' * 1/min(nmax, count'_dst)] / [1/n_nonzero * 1/min(nmax, count_src)]
-    evaluated on the new/old tensors respectively (d-choice symmetric).
+      [1/n_nonzero' * 1/min(nmax, count'_dst)] /
+      [1/n_nonzero  * 1/min(nmax, count_src)]
+    on the new/old tensors respectively (d-choice symmetric).
+
+    Returns:
+      (events, state, logp, EventMoveInfo)
     """
     M, T, X = events.shape
     dtype = events.dtype
@@ -97,13 +110,25 @@ def event_move_step(
     x_eff = jnp.where(active, x, 0.0)
     t_dst_safe = jnp.clip(t_dst, 0, T - 1)
 
-    new_events = events.at[locs, t_src, target_id].add(-x_eff)
-    new_events = new_events.at[locs, t_dst_safe, target_id].add(x_eff)
-
-    new_logp = logp_fn(new_events)
+    # Apply per-location moves sequentially (rows are disjoint — the
+    # proposal factorizes — but E->I moves couple all rows through the
+    # infection rate, so deltas telescope exactly).
+    ev_cur, st_cur = events, state
+    delta_total = jnp.zeros((), dtype)
+    for i in range(mmax):
+        ev_new, st_new = apply_event_delta(
+            ev_cur, st_cur, locs[i], t_src[i], t_dst_safe[i], x_eff[i],
+            target_id,
+        )
+        delta_i = evaluator.move_delta(
+            ev_cur, st_cur, locs[i], t_src[i], t_dst_safe[i], x_eff[i],
+            target_id, ev_new, st_new,
+        )
+        delta_total = delta_total + delta_i
+        ev_cur, st_cur = ev_new, st_new
 
     # Hastings correction (only for active locations; null moves cancel).
-    counts_new = new_events[locs, :, target_id]
+    counts_new = ev_cur[locs, :, target_id]
     n_nonzero_new = jnp.sum(counts_new > 0, axis=-1)
     count_dst_new = counts_new[jnp.arange(mmax), t_dst_safe]
     cap_rev = jnp.minimum(jnp.asarray(nmax, dtype), count_dst_new)
@@ -116,17 +141,15 @@ def event_move_step(
     hastings = jnp.sum(jnp.where(active, log_q_rev - log_q_fwd, 0.0))
 
     # Proposals that try to move events out of range are rejected outright
-    # (any has_events location with !in_range invalidates the joint move,
-    # since the reverse proposal could not reproduce it).
+    # (the reverse proposal could not reproduce them).
     proposal_ok = jnp.all(in_range | ~has_events)
-    log_alpha = jnp.where(
-        proposal_ok, new_logp - current_logp + hastings, -jnp.inf
-    )
+    log_alpha = jnp.where(proposal_ok, delta_total + hastings, -jnp.inf)
 
     u = jax.random.uniform(k_acc, (), dtype)
     accepted = jnp.log(u) < log_alpha
-    events_out = jnp.where(accepted, new_events, events)
-    logp_out = jnp.where(accepted, new_logp, current_logp)
+    events_out = jnp.where(accepted, ev_cur, events)
+    state_out = jnp.where(accepted, st_cur, state)
+    logp_out = jnp.where(accepted, current_logp + delta_total, current_logp)
     info = EventMoveInfo(
         is_accepted=accepted,
         target_log_prob=logp_out,
@@ -135,14 +158,15 @@ def event_move_step(
         delta_t=d.astype(dtype),
         x_star=x_eff,
     )
-    return events_out, logp_out, info
+    return events_out, state_out, logp_out, info
 
 
 def occult_step(
     key,
     events,
+    state,
     current_logp,
-    logp_fn: Callable,
+    evaluator,
     target_id: int,
     t_range,
     nmax: int,
@@ -156,6 +180,9 @@ def occult_step(
     Reference contract: ``UncalibratedOccultUpdate`` with
     ``t_range=[T-21, T)``, ``nmax=occult_nmax``
     (mcmc_kernel_factory.py:89-113, inference.py:334-341).
+
+    Returns:
+      (events, state, logp, EventMoveInfo)
     """
     M, T, X = events.shape
     dtype = events.dtype
@@ -174,10 +201,14 @@ def occult_step(
     ).astype(dtype)
     can_delete = count > 0
     x = jnp.where(is_add, x_add, jnp.where(can_delete, x_del, 0.0))
-    delta = jnp.where(is_add, x, -x)
+    delta_x = jnp.where(is_add, x, -x)
 
-    new_events = events.at[loc, t, target_id].add(delta)
-    new_logp = logp_fn(new_events)
+    ev_new, st_new = apply_event_delta(
+        events, state, loc, t, t, delta_x, target_id, occult=True
+    )
+    delta_lp = evaluator.occult_delta(
+        events, state, loc, t, delta_x, target_id, ev_new, st_new
+    )
 
     # Hastings: forward-add has q_x = 1/nmax, reverse-delete has
     # q_x = 1/min(nmax, count + x); vice versa for forward-delete.
@@ -191,19 +222,18 @@ def occult_step(
     hastings = jnp.where(is_add, log_h_add, log_h_del)
 
     is_null = ~is_add & ~can_delete
-    log_alpha = jnp.where(
-        is_null, 0.0, new_logp - current_logp + hastings
-    )
+    log_alpha = jnp.where(is_null, 0.0, delta_lp + hastings)
     u = jax.random.uniform(k_acc, (), dtype)
     accepted = jnp.log(u) < log_alpha
-    events_out = jnp.where(accepted, new_events, events)
-    logp_out = jnp.where(accepted, new_logp, current_logp)
+    events_out = jnp.where(accepted, ev_new, events)
+    state_out = jnp.where(accepted, st_new, state)
+    logp_out = jnp.where(accepted, current_logp + delta_lp, current_logp)
     info = EventMoveInfo(
         is_accepted=accepted,
         target_log_prob=logp_out,
         m=loc.astype(dtype),
         t=t.astype(dtype),
         delta_t=jnp.where(is_add, 1.0, -1.0).astype(dtype),
-        x_star=jnp.abs(delta),
+        x_star=jnp.abs(delta_x),
     )
-    return events_out, logp_out, info
+    return events_out, state_out, logp_out, info

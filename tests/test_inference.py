@@ -17,6 +17,11 @@ import pytest
 from covid19uk_tpu.inference import dual_averaging, welford
 from covid19uk_tpu.inference.hmc import hmc_step
 from covid19uk_tpu.inference.event_kernels import event_move_step, occult_step
+from covid19uk_tpu.inference.likelihood import (
+    FullEvaluator,
+    WindowedEvaluator,
+    make_context,
+)
 
 
 # ---------------------------------------------------------------- welford
@@ -167,17 +172,19 @@ def test_event_move_kernel_exact_stationarity():
     init = jnp.zeros((1, T, 3), jnp.float64).at[0, :, 0].set(
         jnp.asarray(np.array(states[0]), jnp.float64)
     )
+    ev = FullEvaluator(logp_fn=logp_fn)
+    st0 = jnp.zeros((1, T, 4), jnp.float64)
 
     def body(carry, key):
-        events, logp = carry
-        events, logp, info = event_move_step(
-            key, events, logp, logp_fn, 0, dmax=3, mmax=1, nmax=2
+        events, st, logp = carry
+        events, st, logp, info = event_move_step(
+            key, events, st, logp, ev, 0, dmax=3, mmax=1, nmax=2
         )
-        return (events, logp), events[0, :, 0]
+        return (events, st, logp), events[0, :, 0]
 
     n = 40000
     keys = jax.random.split(jax.random.PRNGKey(3), n)
-    (_, _), trace = jax.lax.scan(body, (init, logp_fn(init)), keys)
+    (_, _, _), trace = jax.lax.scan(body, (init, st0, logp_fn(init)), keys)
     trace = np.asarray(trace[2000:]).astype(int)
 
     counts = np.zeros(len(states))
@@ -221,17 +228,19 @@ def test_occult_kernel_exact_stationarity():
     target /= target.sum()
 
     init = jnp.zeros((1, T, 3), jnp.float64)
+    ev = FullEvaluator(logp_fn=logp_fn)
+    st0 = jnp.zeros((1, T, 4), jnp.float64)
 
     def body(carry, key):
-        events, logp = carry
-        events, logp, info = occult_step(
-            key, events, logp, logp_fn, 0, t_range=(2, 4), nmax=3
+        events, st, logp = carry
+        events, st, logp, info = occult_step(
+            key, events, st, logp, ev, 0, t_range=(2, 4), nmax=3
         )
-        return (events, logp), (events[0, 2, 0], events[0, 3, 0])
+        return (events, st, logp), (events[0, 2, 0], events[0, 3, 0])
 
     n = 60000
     keys = jax.random.split(jax.random.PRNGKey(4), n)
-    (_, _), trace = jax.lax.scan(body, (init, logp_fn(init)), keys)
+    (_, _, _), trace = jax.lax.scan(body, (init, st0, logp_fn(init)), keys)
     a = np.asarray(trace[0][3000:]).astype(int)
     b = np.asarray(trace[1][3000:]).astype(int)
 
@@ -263,17 +272,19 @@ def test_event_move_conserves_totals_and_validity(rng):
 
     logp_fn = lambda ev: model.log_prob(params, ev)
     logp = logp_fn(events)
+    fe = FullEvaluator(logp_fn=logp_fn)
+    st0 = seir.compute_state(model.initial_state, events)
 
     def body(carry, key):
-        ev, lp = carry
+        ev, st, lp = carry
         k1, k2, k3 = jax.random.split(key, 3)
-        ev, lp, _ = event_move_step(k1, ev, lp, logp_fn, 0, 5, 2, 10)
-        ev, lp, _ = event_move_step(k2, ev, lp, logp_fn, 1, 5, 2, 10)
-        ev, lp, _ = occult_step(k3, ev, lp, logp_fn, 0, (T - 4, T), 5)
-        return (ev, lp), None
+        ev, st, lp, _ = event_move_step(k1, ev, st, lp, fe, 0, 5, 2, 10)
+        ev, st, lp, _ = event_move_step(k2, ev, st, lp, fe, 1, 5, 2, 10)
+        ev, st, lp, _ = occult_step(k3, ev, st, lp, fe, 0, (T - 4, T), 5)
+        return (ev, st, lp), None
 
     keys = jax.random.split(jax.random.PRNGKey(6), 200)
-    (ev_out, lp_out), _ = jax.lax.scan(body, (events, logp), keys)
+    (ev_out, st_out, lp_out), _ = jax.lax.scan(body, (events, st0, logp), keys)
 
     ev0, ev1 = np.asarray(events), np.asarray(ev_out)
     # I->R slice untouched (observed data)
@@ -284,5 +295,71 @@ def test_event_move_conserves_totals_and_validity(rng):
     state = np.asarray(seir.compute_state(model.initial_state, ev_out))
     assert state.min() >= 0
     assert np.isfinite(float(lp_out))
+    # the threaded state tensor stays consistent with the events
+    np.testing.assert_allclose(np.asarray(st_out), state, rtol=1e-12)
     # the chain moved
     assert not np.array_equal(ev0[..., 0], ev1[..., 0])
+
+
+def test_windowed_evaluator_matches_full(rng):
+    """The windowed delta evaluation must produce the same chains as full
+    re-evaluation: same keys => identical proposals => identical accepts,
+    events, and log-probs (within float64 round-off)."""
+    from covid19uk_tpu.models.spec import CovidUK
+    from covid19uk_tpu.models import seir
+    from tests.test_spec import make_test_data, make_test_params
+
+    M, T = 6, 16
+    data = make_test_data(rng, M, T)
+    params = make_test_params(rng, M, T)
+    N = np.asarray(data.N)
+    init = np.stack(
+        [N - 60, np.full(M, 25.0), np.full(M, 35.0), np.zeros(M)], -1
+    )
+    model = CovidUK(data, jnp.asarray(init, jnp.float64), 0, T)
+    events = model.sample_seir(jax.random.PRNGKey(8), params)
+    st0 = seir.compute_state(model.initial_state, events)
+
+    logp_fn = lambda ev: model.log_prob(params, ev)
+    logp = logp_fn(events)
+    fe = FullEvaluator(logp_fn=logp_fn)
+    ctx = make_context(model, params)
+    t_range = (T - 6, T)
+    we_move = WindowedEvaluator(ctx=ctx, window=min(5 + 1, T))
+    we_occ = WindowedEvaluator(ctx=ctx, window=T - t_range[0])
+
+    def chain(evaluator_move, evaluator_occ):
+        def body(carry, key):
+            ev, st, lp = carry
+            k1, k2, k3, k4 = jax.random.split(key, 4)
+            ev, st, lp, i1 = event_move_step(
+                k1, ev, st, lp, evaluator_move, 0, 5, 2, 10
+            )
+            ev, st, lp, i2 = event_move_step(
+                k2, ev, st, lp, evaluator_move, 1, 5, 2, 10
+            )
+            ev, st, lp, i3 = occult_step(
+                k3, ev, st, lp, evaluator_occ, 0, t_range, 5
+            )
+            ev, st, lp, i4 = occult_step(
+                k4, ev, st, lp, evaluator_occ, 1, t_range, 5
+            )
+            acc = jnp.stack(
+                [i1.is_accepted, i2.is_accepted, i3.is_accepted,
+                 i4.is_accepted]
+            )
+            return (ev, st, lp), (lp, acc)
+
+        keys = jax.random.split(jax.random.PRNGKey(9), 300)
+        return jax.lax.scan(body, (events, st0, logp), keys)
+
+    (ev_f, _, lp_f), (lps_f, acc_f) = chain(fe, fe)
+    (ev_w, _, lp_w), (lps_w, acc_w) = chain(we_move, we_occ)
+
+    np.testing.assert_array_equal(np.asarray(acc_f), np.asarray(acc_w))
+    np.testing.assert_array_equal(np.asarray(ev_f), np.asarray(ev_w))
+    np.testing.assert_allclose(
+        np.asarray(lps_f), np.asarray(lps_w), rtol=1e-9, atol=1e-7
+    )
+    # some of each kernel type must have accepted for this to be a real test
+    assert np.asarray(acc_f).mean(0).min() > 0.01

@@ -93,7 +93,7 @@ def test_sharded_step_matches_vmap(rng):
         dmax=3, mmax=2, nmax=5, occult_nmax=3,
         num_event_time_updates=2, t_range=(T - 4, T),
     )
-    step = make_mcmc_step(model.joint_log_prob_unconstrained, 4, cfg)
+    step = make_mcmc_step(model, 4, cfg)
     tune = HMCTunables(
         step_size=jnp.full((C,), 0.05, jnp.float32),
         inv_mass_diag=jnp.ones((C,) + u.shape, jnp.float32),
