@@ -15,7 +15,8 @@ import jax
 
 def save(path, *, state, key, step_size, inv_mass_diag, offset, extra=None):
     """Atomically writes a checkpoint npz."""
-    tmp = path + ".tmp"
+    # np.savez appends ".npz" unless the name already ends with it
+    tmp = path + ".tmp.npz"
     flat, treedef = jax.tree.flatten(state)
     payload = {
         "key": np.asarray(key),
