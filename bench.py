@@ -21,7 +21,7 @@ import time
 import numpy as np
 
 M, T = 380, 120  # full-UK problem scale (SURVEY.md §6)
-NCHAINS = 16
+NCHAINS = 64
 N_ITERS = 40
 
 # Measured on this machine's CPU backend (JAX 0.9.0, float32, single chain,

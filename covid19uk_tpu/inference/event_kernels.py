@@ -147,9 +147,17 @@ def event_move_step(
 
     u = jax.random.uniform(k_acc, (), dtype)
     accepted = jnp.log(u) < log_alpha
-    events_out = jnp.where(accepted, ev_cur, events)
-    state_out = jnp.where(accepted, st_cur, state)
-    logp_out = jnp.where(accepted, current_logp + delta_total, current_logp)
+    # Revert-if-rejected: a full-tensor `where(accepted, new, old)` would
+    # copy the [M,T,X] events and [M,T,S] state every proposal (the
+    # dominant HBM traffic at scale); applying the inverse move with
+    # x=0-if-accepted touches only the same few cells/rows.
+    x_revert = jnp.where(accepted, 0.0, x_eff)
+    for i in range(mmax):
+        ev_cur, st_cur = apply_event_delta(
+            ev_cur, st_cur, locs[i], t_dst_safe[i], t_src[i], x_revert[i],
+            target_id,
+        )
+    logp_out = current_logp + jnp.where(accepted, delta_total, 0.0)
     info = EventMoveInfo(
         is_accepted=accepted,
         target_log_prob=logp_out,
@@ -158,7 +166,7 @@ def event_move_step(
         delta_t=d.astype(dtype),
         x_star=x_eff,
     )
-    return events_out, state_out, logp_out, info
+    return ev_cur, st_cur, logp_out, info
 
 
 def occult_step(
@@ -225,9 +233,12 @@ def occult_step(
     log_alpha = jnp.where(is_null, 0.0, delta_lp + hastings)
     u = jax.random.uniform(k_acc, (), dtype)
     accepted = jnp.log(u) < log_alpha
-    events_out = jnp.where(accepted, ev_new, events)
-    state_out = jnp.where(accepted, st_new, state)
-    logp_out = jnp.where(accepted, current_logp + delta_lp, current_logp)
+    # Revert-if-rejected (see event_move_step): avoid full-tensor selects.
+    revert_x = jnp.where(accepted, 0.0, -delta_x)
+    events_out, state_out = apply_event_delta(
+        ev_new, st_new, loc, t, t, revert_x, target_id, occult=True
+    )
+    logp_out = current_logp + jnp.where(accepted, delta_lp, 0.0)
     info = EventMoveInfo(
         is_accepted=accepted,
         target_log_prob=logp_out,

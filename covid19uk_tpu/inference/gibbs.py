@@ -92,16 +92,35 @@ def make_mcmc_step(
     M = model.data.num_locations
     move_window = min(cfg.dmax + 1, T)
     occult_window = min(cfg.t_range[1] - cfg.t_range[0], T)
-    joint_log_prob_fn = model.joint_log_prob_unconstrained
+
+    from covid19uk_tpu.ops.binomial import binomial_log_pmf_from_rate
+    from covid19uk_tpu.models.spec import constrain_log_det_jacobian
 
     def step(key, state: ChainState, tune: HMCTunables):
         k_hmc, k_events = jax.random.split(key)
+
+        # The state timeseries depends only on the events, which HMC holds
+        # fixed — compute it ONCE here instead of inside every leapfrog
+        # gradient (XLA does not hoist the cumsum out of the scan; measured
+        # 3x on the bare gradient at full-UK scale).
+        full_state = seir.compute_state(model.initial_state, state.events)
+        n_src = full_state[..., seir.SOURCE_STATES]
+
+        def logdensity(u):
+            params = unpack_parameters(constrain_parameters(u), T, M)
+            rates = model.transition_rates(params, full_state)
+            ll = jnp.sum(
+                binomial_log_pmf_from_rate(n_src, state.events, rates)
+            )
+            return (
+                model.log_prior(params) + ll + constrain_log_det_jacobian(u)
+            )
 
         # --- position 0: HMC on params | events -------------------------
         u_new, hmc_info = hmc.hmc_step(
             k_hmc,
             state.u,
-            lambda u: joint_log_prob_fn(u, state.events),
+            logdensity,
             tune.step_size,
             num_leapfrog_steps,
             tune.inv_mass_diag,
@@ -113,7 +132,6 @@ def make_mcmc_step(
         move_eval = WindowedEvaluator(ctx=ctx, window=move_window)
         occ_eval = WindowedEvaluator(ctx=ctx, window=occult_window)
 
-        full_state = seir.compute_state(model.initial_state, state.events)
         logp0 = hmc_info.target_log_prob  # logp(u_new, old events)
 
         def sweep(carry, k):
