@@ -1,0 +1,75 @@
+"""Typed, validated configuration.
+
+The reference parses raw YAML dicts with no schema and mutates the config as
+a side channel (SURVEY.md §5 'Config').  This module validates the ``Mcmc``
+section into a dataclass up front; unknown keys and out-of-range values fail
+fast with a pointed message.  The raw-dict interface is still accepted
+everywhere for reference parity.
+"""
+
+from dataclasses import dataclass, field, fields
+from typing import Optional
+
+
+@dataclass
+class WarmupConfig:
+    first_window: int = 200
+    slow_window: int = 25
+    num_slow_windows: int = 6
+    last_window: int = 50
+
+
+@dataclass
+class McmcConfig:
+    """The Mcmc config section (reference example_config.yaml:25-34 plus
+    framework extensions)."""
+
+    dmax: int = 84
+    nmax: int = 25
+    m: int = 2
+    occult_nmax: int = 15
+    num_event_time_updates: int = 5
+    num_bursts: int = 50
+    num_burst_samples: int = 100
+    thin: int = 1
+    num_adaptation_iterations: int = 1000  # accepted for parity; unused
+    num_chains: int = 1
+    dtype: str = "float32"
+    seed: int = 1
+    checkpoint: Optional[str] = None
+    log_file: Optional[str] = None
+    profile_dir: Optional[str] = None
+    warmup: Optional[dict] = None
+
+    def __post_init__(self):
+        positive = [
+            "dmax", "nmax", "m", "occult_nmax", "num_event_time_updates",
+            "num_bursts", "num_burst_samples", "thin", "num_chains",
+        ]
+        for name in positive:
+            v = getattr(self, name)
+            if not isinstance(v, int) or v < 1:
+                raise ValueError(f"Mcmc.{name} must be a positive int, got {v!r}")
+        if self.dtype not in ("float32", "float64"):
+            raise ValueError(
+                f"Mcmc.dtype must be float32 or float64, got {self.dtype!r}"
+            )
+        if self.warmup is not None:
+            known = {f.name for f in fields(WarmupConfig)}
+            unknown = set(self.warmup) - known
+            if unknown:
+                raise ValueError(f"Mcmc.warmup unknown keys: {sorted(unknown)}")
+
+    @classmethod
+    def from_dict(cls, d):
+        known = {f.name for f in fields(cls)}
+        unknown = set(d) - known
+        if unknown:
+            raise ValueError(
+                f"Unknown Mcmc config keys: {sorted(unknown)} "
+                f"(known: {sorted(known)})"
+            )
+        return cls(**d)
+
+    def to_dict(self):
+        return {f.name: getattr(self, f.name) for f in fields(self)}

@@ -13,11 +13,15 @@ Differences from the reference (all capability supersets):
 """
 
 import sys
+import time
 from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
 import numpy as np
+
+from covid19uk_tpu.config import McmcConfig
+from covid19uk_tpu.utils.logging import RunLog, StageTimer
 
 from covid19uk_tpu.models import seir
 from covid19uk_tpu.models.spec import (
@@ -142,7 +146,12 @@ def run_mcmc(
     Returns:
       the Posterior store (open).
     """
-    schedule = schedule or WarmupSchedule()
+    if isinstance(config, dict):
+        config = McmcConfig.from_dict(config)
+    schedule = schedule or (
+        WarmupSchedule(**config.warmup) if config.warmup else WarmupSchedule()
+    )
+    log = RunLog(config.log_file)
     C = num_chains
     dtype = initial_chain_state.u.dtype
     T, M = model.num_steps, model.data.num_locations
@@ -166,9 +175,9 @@ def run_mcmc(
         return draws_to_dict(u_np, ev_np, T, M)
 
     # ---- posterior store (preallocate via shape templates) --------------
-    num_samples = schedule.total + config["num_burst_samples"] * config[
-        "num_bursts"
-    ]
+    num_samples = (
+        schedule.total + config.num_burst_samples * config.num_bursts
+    )
     chain_shape = () if squeeze else (C,)
     np_dtype = np.float64 if dtype == jnp.float64 else np.float32
     sample_template = draws_to_dict(
@@ -227,12 +236,24 @@ def run_mcmc(
         )
         offset += np.asarray(draws.u).shape[0]
 
+    def log_window(name, n, traces, timer):
+        acc = float(np.asarray(traces.hmc.is_accepted).mean())
+        log.event(
+            "window", name=name, draws=n,
+            hmc_accept=round(acc, 4),
+            step_size=float(np.mean(np.asarray(traces.hmc.step_size)[:, -1])),
+            draws_per_sec=round(n * C / max(timer, 1e-9), 2),
+        )
+
     # ---- fast window ------------------------------------------------------
     _log(f"Fast window {schedule.first_window}")
     key, sub = jax.random.split(key)
+    t0 = time.time()
     state, da, wf, inv_mass, draws, traces = window(
         schedule.first_window, adapt_mass=False
     )(jax.random.split(sub, C), state, da, wf, inv_mass)
+    jax.block_until_ready(state)
+    log_window("fast", schedule.first_window, traces, time.time() - t0)
     write(draws, traces)
     step_size = dual_averaging.step_size(da)
     # draws.u is chain-major [C, n, P]; seed Welford per chain from the
@@ -248,9 +269,12 @@ def run_mcmc(
         _log(f"Slow window {n}")
         key, sub = jax.random.split(key)
         da = jax.vmap(lambda s: dual_averaging.init(s, dtype))(step_size)
+        t0 = time.time()
         state, da, wf, inv_mass, draws, traces = window(n, adapt_mass=True)(
             jax.random.split(sub, C), state, da, wf, inv_mass
         )
+        jax.block_until_ready(state)
+        log_window("slow", n, traces, time.time() - t0)
         write(draws, traces)
         step_size = dual_averaging.step_size(da)
         wf = jax.vmap(welford.from_draws)(draws.u)
@@ -259,9 +283,12 @@ def run_mcmc(
     _log(f"Fast window {schedule.last_window}")
     key, sub = jax.random.split(key)
     da = jax.vmap(lambda s: dual_averaging.init(s, dtype))(step_size)
+    t0 = time.time()
     state, da, wf_unused, inv_mass, draws, traces = window(
         schedule.last_window, adapt_mass=False
     )(jax.random.split(sub, C), state, da, wf, inv_mass)
+    jax.block_until_ready(state)
+    log_window("fast", schedule.last_window, traces, time.time() - t0)
     write(draws, traces)
     # final step size: mean over last half of the window's trace
     # (reference inference.py:439-441)
@@ -271,7 +298,7 @@ def run_mcmc(
     # ---- sampling bursts ------------------------------------------------------
     _log("Sampling...")
     burst = jax.jit(
-        jax.vmap(make_fixed_runner(step, config["num_burst_samples"]))
+        jax.vmap(make_fixed_runner(step, config.num_burst_samples))
     )
     start_burst = 0
     if checkpoint_path and ckpt.exists(checkpoint_path):
@@ -287,10 +314,26 @@ def run_mcmc(
         start_burst = int(extra.get("burst", 0))
         _log(f"Resumed from checkpoint at burst {start_burst}")
 
-    for b in range(start_burst, config["num_bursts"]):
+    sampling_t0 = time.time()
+    for b in range(start_burst, config.num_bursts):
+        if config.profile_dir and b == max(start_burst, 1):
+            jax.profiler.start_trace(config.profile_dir)
         key, sub = jax.random.split(key)
+        t0 = time.time()
         state, draws, traces = burst(
             jax.random.split(sub, C), state, step_size, inv_mass
+        )
+        jax.block_until_ready(state)
+        if config.profile_dir and b == max(start_burst, 1):
+            jax.profiler.stop_trace()
+        log.event(
+            "burst", index=b, draws=config.num_burst_samples,
+            hmc_accept=round(
+                float(np.asarray(traces.hmc.is_accepted).mean()), 4
+            ),
+            draws_per_sec=round(
+                config.num_burst_samples * C / max(time.time() - t0, 1e-9), 2
+            ),
         )
         write(draws, traces)
         if checkpoint_path:
@@ -303,9 +346,51 @@ def run_mcmc(
                 offset=offset,
                 extra={"burst": b + 1},
             )
-        _log(f"burst {b + 1}/{config['num_bursts']}")
+        _log(f"burst {b + 1}/{config.num_bursts}")
+    sampling_wall = time.time() - sampling_t0
 
+    # ---- cross-chain convergence diagnostics ------------------------------
+    _report_diagnostics(
+        posterior, schedule.total, C, squeeze, sampling_wall, log
+    )
+    log.close()
     return posterior
+
+
+def _report_diagnostics(posterior, warmup_total, C, squeeze, sampling_wall,
+                        log):
+    """Split R-hat + ESS + ESS/sec over the sampling phase for the scalar
+    parameters — the convergence gate the reference never had
+    (SURVEY.md §5 'Metrics')."""
+    from covid19uk_tpu.parallel.diagnostics import (
+        effective_sample_size,
+        potential_scale_reduction,
+    )
+
+    scalars = ["psi", "sigma_space", "beta_area", "gamma0", "gamma1",
+               "alpha_0"]
+    summary = {}
+    for name in scalars:
+        draws = np.asarray(posterior[f"samples/{name}"][warmup_total:])
+        if squeeze:
+            draws = draws[None, :]  # [1, N]
+        else:
+            draws = draws.T  # [C, N]
+        ess = float(np.min(np.asarray(effective_sample_size(
+            jnp.asarray(draws)))))
+        entry = {"ess": round(ess, 1),
+                 "ess_per_sec": round(ess / max(sampling_wall, 1e-9), 2)}
+        if draws.shape[0] > 1:
+            entry["rhat"] = round(
+                float(np.max(np.asarray(potential_scale_reduction(
+                    jnp.asarray(draws))))), 4
+            )
+        summary[name] = entry
+    log.event("diagnostics", sampling_wall_s=round(sampling_wall, 2),
+              **summary)
+    for name, entry in summary.items():
+        _log(f"  {name}: ESS={entry['ess']} ({entry['ess_per_sec']}/s)"
+             + (f" R-hat={entry['rhat']}" if "rhat" in entry else ""))
 
 
 def mcmc(data_file, output_file, config):
@@ -317,7 +402,9 @@ def mcmc(data_file, output_file, config):
       config: the ``Mcmc`` config section (example_config.yaml:25-34), plus
         optional extras: num_chains, dtype, seed, checkpoint.
     """
-    dtype = jnp.float64 if config.get("dtype") == "float64" else jnp.float32
+    if isinstance(config, dict):
+        config = McmcConfig.from_dict(config)
+    dtype = jnp.float64 if config.dtype == "float64" else jnp.float32
 
     constant_data = ncio.load_group(data_file, "constant_data")
     observations = ncio.load_group(data_file, "observations")
@@ -327,9 +414,7 @@ def mcmc(data_file, output_file, config):
     # Tile the last week 3x as an occult-initialization runway
     # (reference inference.py:490-492).
     cases_ext = np.concatenate([cases, np.tile(cases[:, -7:], (1, 3))], axis=1)
-    events_full = impute.impute_censored_events(
-        cases_ext, seed=config.get("seed", 0)
-    )
+    events_full = impute.impute_censored_events(cases_ext, seed=config.seed)
 
     # Initial state at the inference start (reference inference.py:500-513).
     N = np.squeeze(np.asarray(constant_data["N"], np.float64))
@@ -357,11 +442,11 @@ def mcmc(data_file, output_file, config):
     )
 
     event_config = EventKernelConfig(
-        dmax=config["dmax"],
-        mmax=config["m"],
-        nmax=config["nmax"],
-        occult_nmax=config["occult_nmax"],
-        num_event_time_updates=config["num_event_time_updates"],
+        dmax=config.dmax,
+        mmax=config.m,
+        nmax=config.nmax,
+        occult_nmax=config.occult_nmax,
+        num_event_time_updates=config.num_event_time_updates,
         t_range=(T - 21, T),
     )
 
@@ -371,19 +456,15 @@ def mcmc(data_file, output_file, config):
     lp0 = model.joint_log_prob_unconstrained(chain_state.u, chain_state.events)
     print("Initial logpi:", float(lp0), flush=True)
 
-    schedule = (
-        WarmupSchedule(**config["warmup"]) if "warmup" in config else None
-    )
     posterior = run_mcmc(
         model,
         chain_state,
         event_config,
         config,
         output_file,
-        num_chains=config.get("num_chains", 1),
-        seed=config.get("seed", 1),
-        schedule=schedule,
-        checkpoint_path=config.get("checkpoint"),
+        num_chains=config.num_chains,
+        seed=config.seed,
+        checkpoint_path=config.checkpoint,
     )
     posterior.create_dataset("initial_state", initial_state)
     if dates is not None:
