@@ -34,6 +34,7 @@ class McmcConfig:
     thin: int = 1
     num_adaptation_iterations: int = 1000  # accepted for parity; unused
     num_chains: int = 1
+    pooled_adaptation: bool = False  # pool step-size/mass across chains
     dtype: str = "float32"
     seed: int = 1
     checkpoint: Optional[str] = None

@@ -236,6 +236,28 @@ def run_mcmc(
         )
         offset += np.asarray(draws.u).shape[0]
 
+    def pool(step_size, wf):
+        """Cross-chain pooled adaptation at window granularity: all chains
+        share the geometric-mean step size and moment-pooled mass matrix —
+        the multi-chain upgrade of the reference's single-chain
+        RunningVariance (inference.py:36-47)."""
+        if not config.pooled_adaptation or C == 1:
+            return step_size, wf
+        step_size = jnp.broadcast_to(
+            jnp.exp(jnp.mean(jnp.log(step_size))), step_size.shape
+        )
+        count = jnp.mean(wf.count) * C
+        mean = jnp.mean(wf.mean, axis=0)
+        # total variance = mean within-chain variance + between-chain var
+        var = jnp.mean(
+            jax.vmap(welford.variance)(wf), axis=0
+        ) + jnp.var(wf.mean, axis=0)
+        pooled = welford.from_stats(count, mean, var)
+        wf = jax.tree.map(
+            lambda x: jnp.broadcast_to(x, (C,) + x.shape), pooled
+        )
+        return step_size, wf
+
     def log_window(name, n, traces, timer):
         acc = float(np.asarray(traces.hmc.is_accepted).mean())
         log.event(
@@ -259,6 +281,7 @@ def run_mcmc(
     # draws.u is chain-major [C, n, P]; seed Welford per chain from the
     # window's last half (reference inference.py:36-47,119).
     wf = jax.vmap(welford.from_draws)(draws.u)
+    step_size, wf = pool(step_size, wf)
     from covid19uk_tpu.inference.warmup import regularized_variance
 
     inv_mass = jax.vmap(regularized_variance)(wf)
@@ -278,6 +301,7 @@ def run_mcmc(
         write(draws, traces)
         step_size = dual_averaging.step_size(da)
         wf = jax.vmap(welford.from_draws)(draws.u)
+        step_size, wf = pool(step_size, wf)
 
     # ---- final fast window --------------------------------------------------
     _log(f"Fast window {schedule.last_window}")
