@@ -74,14 +74,19 @@ def event_move_step(
 
     Proposal, per chosen location (locations uniform without replacement):
       t_src  ~ Uniform{t : events[loc, t, target] > 0}   (null if none)
-      d      ~ Uniform{-dmax..-1, 1..dmax}
+      d      ~ Uniform{-min(dmax,t_src)..-1, 1..min(dmax, T-1-t_src)}
+               (displacements sampled *within* the valid range — with
+               dmax > T, an unconstrained proposal would be rejected ~90%
+               of the time on range grounds alone; the asymmetric support
+               is corrected in the Hastings ratio by the support sizes)
       x      ~ Uniform{1 .. min(nmax, events[loc, t_src, target])}
-      move x events from t_src to t_src + d (reject if out of range).
+      move x events from t_src to t_src + d.
 
     Hastings ratio: product over locations of
-      [1/n_nonzero' * 1/min(nmax, count'_dst)] /
-      [1/n_nonzero  * 1/min(nmax, count_src)]
-    on the new/old tensors respectively (d-choice symmetric).
+      [1/n_nonzero' * 1/min(nmax, count'_dst) * 1/s_rev] /
+      [1/n_nonzero  * 1/min(nmax, count_src)  * 1/s_fwd]
+    on the new/old tensors respectively, with s_* the displacement-support
+    sizes at the source/destination times.
 
     Returns:
       (events, state, logp, EventMoveInfo)
@@ -95,8 +100,11 @@ def event_move_step(
     t_src, n_nonzero = _uniform_nonzero_time(k_t, counts)  # [mmax]
     has_events = n_nonzero > 0
 
-    r = jax.random.randint(k_d, (mmax,), 0, 2 * dmax)
-    d = jnp.where(r < dmax, r - dmax, r - dmax + 1)  # skips 0
+    left = jnp.minimum(dmax, t_src)  # [mmax]
+    right = jnp.minimum(dmax, T - 1 - t_src)
+    s_fwd = jnp.maximum(left + right, 1)
+    r = jax.random.randint(k_d, (mmax,), 0, s_fwd)
+    d = jnp.where(r < left, r - left, r - left + 1)  # skips 0, in range
 
     count_src = counts[jnp.arange(mmax), t_src]
     cap_fwd = jnp.minimum(jnp.asarray(nmax, dtype), count_src)
@@ -104,11 +112,14 @@ def event_move_step(
         k_x, (mmax,), 1, jnp.maximum(cap_fwd, 1.0).astype(jnp.int32) + 1
     ).astype(dtype)
 
-    t_dst = t_src + d
-    in_range = (t_dst >= 0) & (t_dst < T)
-    active = has_events & in_range
+    t_dst = t_src + d  # always within [0, T)
+    active = has_events & (left + right > 0)
     x_eff = jnp.where(active, x, 0.0)
     t_dst_safe = jnp.clip(t_dst, 0, T - 1)
+    s_rev = jnp.maximum(
+        jnp.minimum(dmax, t_dst_safe) + jnp.minimum(dmax, T - 1 - t_dst_safe),
+        1,
+    )
 
     # Apply per-location moves sequentially (rows are disjoint — the
     # proposal factorizes — but E->I moves couple all rows through the
@@ -132,18 +143,18 @@ def event_move_step(
     n_nonzero_new = jnp.sum(counts_new > 0, axis=-1)
     count_dst_new = counts_new[jnp.arange(mmax), t_dst_safe]
     cap_rev = jnp.minimum(jnp.asarray(nmax, dtype), count_dst_new)
-    log_q_fwd = -jnp.log(jnp.maximum(n_nonzero, 1)) - jnp.log(
-        jnp.maximum(cap_fwd, 1.0)
+    log_q_fwd = (
+        -jnp.log(jnp.maximum(n_nonzero, 1))
+        - jnp.log(jnp.maximum(cap_fwd, 1.0))
+        - jnp.log(s_fwd.astype(dtype))
     )
-    log_q_rev = -jnp.log(jnp.maximum(n_nonzero_new, 1)) - jnp.log(
-        jnp.maximum(cap_rev, 1.0)
+    log_q_rev = (
+        -jnp.log(jnp.maximum(n_nonzero_new, 1))
+        - jnp.log(jnp.maximum(cap_rev, 1.0))
+        - jnp.log(s_rev.astype(dtype))
     )
     hastings = jnp.sum(jnp.where(active, log_q_rev - log_q_fwd, 0.0))
-
-    # Proposals that try to move events out of range are rejected outright
-    # (the reverse proposal could not reproduce them).
-    proposal_ok = jnp.all(in_range | ~has_events)
-    log_alpha = jnp.where(proposal_ok, delta_total + hastings, -jnp.inf)
+    log_alpha = delta_total + hastings
 
     u = jax.random.uniform(k_acc, (), dtype)
     accepted = jnp.log(u) < log_alpha
