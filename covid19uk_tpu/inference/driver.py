@@ -174,6 +174,9 @@ def run_mcmc(
             u_np, ev_np = u_np[:, 0], ev_np[:, 0]
         return draws_to_dict(u_np, ev_np, T, M)
 
+    # ---- resume? ---------------------------------------------------------
+    resuming = checkpoint_path is not None and ckpt.exists(checkpoint_path)
+
     # ---- posterior store (preallocate via shape templates) --------------
     num_samples = (
         schedule.total + config.num_burst_samples * config.num_bursts
@@ -209,9 +212,14 @@ def run_mcmc(
         "occult/S->E": occ_t,
         "occult/E->I": dict(occ_t),
     }
-    posterior = Posterior(
-        output_file, sample_template, results_template, num_samples
-    )
+    if resuming:
+        # Never truncate an existing run: reopen and append past the
+        # checkpointed offset (the reference loses the whole run here).
+        posterior = Posterior.open(output_file)
+    else:
+        posterior = Posterior(
+            output_file, sample_template, results_template, num_samples
+        )
     offset = 0
 
     # ---- adaptation state ------------------------------------------------
@@ -225,16 +233,21 @@ def run_mcmc(
         run = make_window_runner(step, num_draws, adapt_mass)
         return jax.jit(jax.vmap(run))
 
-    def write(draws, traces):
-        nonlocal offset
+    def write_at(draws, traces, off):
         # draws come chain-major from vmap: [C, n, ...] -> [n, C, ...]
         draws = jax.tree.map(lambda x: jnp.swapaxes(x, 0, 1), draws)
-        traces = jax.tree.map(lambda x: np.swapaxes(np.asarray(x), 0, 1), traces)
-        posterior.write_samples(to_samples(draws), first_dim_offset=offset)
-        posterior.write_results(
-            trace_to_results(traces, squeeze), first_dim_offset=offset
+        traces = jax.tree.map(
+            lambda x: np.swapaxes(np.asarray(x), 0, 1), traces
         )
-        offset += np.asarray(draws.u).shape[0]
+        posterior.write_samples(to_samples(draws), first_dim_offset=off)
+        posterior.write_results(
+            trace_to_results(traces, squeeze), first_dim_offset=off
+        )
+        return off + np.asarray(draws.u).shape[0]
+
+    def write(draws, traces):
+        nonlocal offset
+        offset = write_at(draws, traces, offset)
 
     def pool(step_size, wf):
         """Cross-chain pooled adaptation at window granularity: all chains
@@ -267,65 +280,8 @@ def run_mcmc(
             draws_per_sec=round(n * C / max(timer, 1e-9), 2),
         )
 
-    # ---- fast window ------------------------------------------------------
-    _log(f"Fast window {schedule.first_window}")
-    key, sub = jax.random.split(key)
-    t0 = time.time()
-    state, da, wf, inv_mass, draws, traces = window(
-        schedule.first_window, adapt_mass=False
-    )(jax.random.split(sub, C), state, da, wf, inv_mass)
-    jax.block_until_ready(state)
-    log_window("fast", schedule.first_window, traces, time.time() - t0)
-    write(draws, traces)
-    step_size = dual_averaging.step_size(da)
-    # draws.u is chain-major [C, n, P]; seed Welford per chain from the
-    # window's last half (reference inference.py:36-47,119).
-    wf = jax.vmap(welford.from_draws)(draws.u)
-    step_size, wf = pool(step_size, wf)
-    from covid19uk_tpu.inference.warmup import regularized_variance
-
-    inv_mass = jax.vmap(regularized_variance)(wf)
-
-    # ---- slow windows ------------------------------------------------------
-    for k in range(schedule.num_slow_windows):
-        n = schedule.slow_window * (2**k)
-        _log(f"Slow window {n}")
-        key, sub = jax.random.split(key)
-        da = jax.vmap(lambda s: dual_averaging.init(s, dtype))(step_size)
-        t0 = time.time()
-        state, da, wf, inv_mass, draws, traces = window(n, adapt_mass=True)(
-            jax.random.split(sub, C), state, da, wf, inv_mass
-        )
-        jax.block_until_ready(state)
-        log_window("slow", n, traces, time.time() - t0)
-        write(draws, traces)
-        step_size = dual_averaging.step_size(da)
-        wf = jax.vmap(welford.from_draws)(draws.u)
-        step_size, wf = pool(step_size, wf)
-
-    # ---- final fast window --------------------------------------------------
-    _log(f"Fast window {schedule.last_window}")
-    key, sub = jax.random.split(key)
-    da = jax.vmap(lambda s: dual_averaging.init(s, dtype))(step_size)
-    t0 = time.time()
-    state, da, wf_unused, inv_mass, draws, traces = window(
-        schedule.last_window, adapt_mass=False
-    )(jax.random.split(sub, C), state, da, wf, inv_mass)
-    jax.block_until_ready(state)
-    log_window("fast", schedule.last_window, traces, time.time() - t0)
-    write(draws, traces)
-    # final step size: mean over last half of the window's trace
-    # (reference inference.py:439-441)
-    ss_trace = traces.hmc.step_size  # [C, n]
-    step_size = jnp.mean(ss_trace[:, schedule.last_window // 2 :], axis=1)
-
-    # ---- sampling bursts ------------------------------------------------------
-    _log("Sampling...")
-    burst = jax.jit(
-        jax.vmap(make_fixed_runner(step, config.num_burst_samples))
-    )
-    start_burst = 0
-    if checkpoint_path and ckpt.exists(checkpoint_path):
+    if resuming:
+        # Warmup already ran in the interrupted run; restore everything.
         state, key, step_size, inv_mass, offset, extra = ckpt.load(
             checkpoint_path, state
         )
@@ -335,8 +291,87 @@ def run_mcmc(
             jnp.asarray(step_size),
             jnp.asarray(inv_mass),
         )
+        offset = int(offset)
         start_burst = int(extra.get("burst", 0))
         _log(f"Resumed from checkpoint at burst {start_burst}")
+    else:
+        start_burst = 0
+
+        # ---- fast window ---------------------------------------------------
+        _log(f"Fast window {schedule.first_window}")
+        key, sub = jax.random.split(key)
+        t0 = time.time()
+        state, da, wf, inv_mass, draws, traces = window(
+            schedule.first_window, adapt_mass=False
+        )(jax.random.split(sub, C), state, da, wf, inv_mass)
+        jax.block_until_ready(state)
+        log_window("fast", schedule.first_window, traces, time.time() - t0)
+        write(draws, traces)
+        step_size = dual_averaging.step_size(da)
+        # draws.u is chain-major [C, n, P]; seed Welford per chain from the
+        # window's last half (reference inference.py:36-47,119).
+        wf = jax.vmap(welford.from_draws)(draws.u)
+        step_size, wf = pool(step_size, wf)
+        from covid19uk_tpu.inference.warmup import regularized_variance
+
+        inv_mass = jax.vmap(regularized_variance)(wf)
+
+        # ---- slow windows ---------------------------------------------------
+        for k in range(schedule.num_slow_windows):
+            n = schedule.slow_window * (2**k)
+            _log(f"Slow window {n}")
+            key, sub = jax.random.split(key)
+            da = jax.vmap(lambda s: dual_averaging.init(s, dtype))(step_size)
+            t0 = time.time()
+            state, da, wf, inv_mass, draws, traces = window(
+                n, adapt_mass=True
+            )(jax.random.split(sub, C), state, da, wf, inv_mass)
+            jax.block_until_ready(state)
+            log_window("slow", n, traces, time.time() - t0)
+            write(draws, traces)
+            step_size = dual_averaging.step_size(da)
+            wf = jax.vmap(welford.from_draws)(draws.u)
+            step_size, wf = pool(step_size, wf)
+
+        # ---- final fast window ----------------------------------------------
+        _log(f"Fast window {schedule.last_window}")
+        key, sub = jax.random.split(key)
+        da = jax.vmap(lambda s: dual_averaging.init(s, dtype))(step_size)
+        t0 = time.time()
+        state, da, wf_unused, inv_mass, draws, traces = window(
+            schedule.last_window, adapt_mass=False
+        )(jax.random.split(sub, C), state, da, wf, inv_mass)
+        jax.block_until_ready(state)
+        log_window("fast", schedule.last_window, traces, time.time() - t0)
+        write(draws, traces)
+        # final step size: mean over last half of the window's trace
+        # (reference inference.py:439-441)
+        ss_trace = traces.hmc.step_size  # [C, n]
+        step_size = jnp.mean(ss_trace[:, schedule.last_window // 2 :], axis=1)
+
+    # ---- sampling bursts ------------------------------------------------------
+    _log("Sampling...")
+    burst = jax.jit(
+        jax.vmap(make_fixed_runner(step, config.num_burst_samples))
+    )
+
+    # Host-side HDF5 writes run on a single worker thread so burst b's
+    # write overlaps burst b+1's device compute; checkpoints lag one burst
+    # (saved only once the corresponding write has landed).
+    from concurrent.futures import ThreadPoolExecutor
+
+    executor = ThreadPoolExecutor(max_workers=1)
+    pending_write = None
+    pending_ckpt = None
+
+    def flush_pending():
+        nonlocal pending_write, pending_ckpt
+        if pending_write is not None:
+            pending_write.result()
+            pending_write = None
+        if checkpoint_path and pending_ckpt is not None:
+            ckpt.save(checkpoint_path, **pending_ckpt)
+            pending_ckpt = None
 
     sampling_t0 = time.time()
     for b in range(start_burst, config.num_bursts):
@@ -347,6 +382,7 @@ def run_mcmc(
         state, draws, traces = burst(
             jax.random.split(sub, C), state, step_size, inv_mass
         )
+        flush_pending()  # overlaps with the device computing this burst
         jax.block_until_ready(state)
         if config.profile_dir and b == max(start_burst, 1):
             jax.profiler.stop_trace()
@@ -359,18 +395,21 @@ def run_mcmc(
                 config.num_burst_samples * C / max(time.time() - t0, 1e-9), 2
             ),
         )
-        write(draws, traces)
-        if checkpoint_path:
-            ckpt.save(
-                checkpoint_path,
-                state=state,
-                key=key,
-                step_size=step_size,
-                inv_mass_diag=inv_mass,
-                offset=offset,
-                extra={"burst": b + 1},
-            )
+        pending_write = executor.submit(write_at, draws, traces, offset)
+        offset += (
+            config.num_burst_samples
+        )
+        pending_ckpt = dict(
+            state=state,
+            key=key,
+            step_size=step_size,
+            inv_mass_diag=inv_mass,
+            offset=offset,
+            extra={"burst": b + 1},
+        )
         _log(f"burst {b + 1}/{config.num_bursts}")
+    flush_pending()
+    executor.shutdown()
     sampling_wall = time.time() - sampling_t0
 
     # ---- cross-chain convergence diagnostics ------------------------------

@@ -74,7 +74,17 @@ class Posterior:
         self._write("results", results_dict, first_dim_offset)
         self._file.flush()
 
+    @classmethod
+    def open(cls, path):
+        """Re-opens an existing posterior store for resumed appends."""
+        self = cls.__new__(cls)
+        self._file = h5py.File(path, "r+")
+        self._num_samples = None
+        return self
+
     def create_dataset(self, name, data):
+        if name in self._file:
+            del self._file[name]
         self._file.create_dataset(name, data=data)
 
     def __getitem__(self, key):

@@ -50,25 +50,46 @@ def test_multichain_layout_and_thin(tmp_path, rng):
 
 @pytest.mark.slow
 def test_checkpoint_resume(tmp_path, rng):
-    """Killing after burst k and re-running resumes from burst k."""
-    from covid19uk_tpu.inference.driver import mcmc
+    """Killing mid-run and re-running resumes into the SAME posterior file
+    without truncating, completing the remaining bursts."""
     import h5py
 
+    from covid19uk_tpu.inference.driver import mcmc
+    from covid19uk_tpu.utils import checkpoint as ckpt_mod
+
     path = str(tmp_path / "data.h5")
+    out = str(tmp_path / "post.h5")
     make_synthetic_datafile(path, rng, M=3, T0=25)
     ckpt = str(tmp_path / "ck.npz")
+    cfg = _cfg(num_bursts=4, checkpoint=ckpt)
 
-    out1 = str(tmp_path / "p1.h5")
-    mcmc(path, out1, _cfg(num_bursts=4, checkpoint=ckpt))
+    # simulate preemption: die right after the burst-2 checkpoint lands
+    real_save = ckpt_mod.save
+    calls = {"n": 0}
 
-    # re-run: checkpoint says all bursts done -> no sampling work repeated,
-    # but the posterior file must still be complete for the warmup part
-    out2 = str(tmp_path / "p2.h5")
-    mcmc(path, out2, _cfg(num_bursts=4, checkpoint=ckpt))
-    with h5py.File(out2, "r") as f:
-        # warmup section written; burst section skipped (resumed past it)
-        total_warm = 6 + 4 + 4
-        assert np.isfinite(f["samples/psi"][:total_warm]).all()
+    def dying_save(*a, **k):
+        real_save(*a, **k)
+        calls["n"] += 1
+        if calls["n"] == 2:
+            raise KeyboardInterrupt("simulated preemption")
+
+    ckpt_mod.save = dying_save
+    try:
+        with pytest.raises(KeyboardInterrupt):
+            mcmc(path, out, cfg)
+    finally:
+        ckpt_mod.save = real_save
+
+    # resume: warmup skipped, bursts 2-3 appended into the same file
+    mcmc(path, out, cfg)
+    total = 6 + 4 + 4 + 20
+    with h5py.File(out, "r") as f:
+        psi = f["samples/psi"][:]
+        assert psi.shape[0] == total
+        assert np.isfinite(psi).all()
+        # burst rows written both before and after the resume point
+        assert np.abs(psi[total - 1]) > 0
+        assert np.abs(psi[6 + 4 + 4]) > 0
 
 
 def test_jump_summary_and_p_null(tmp_path, rng):
