@@ -58,6 +58,39 @@ def _uniform_nonzero_time(key, counts):
     return t, n_nonzero
 
 
+def _sample_two_sided_geometric(key, left, right, decay):
+    """Samples d from P(d) ~ decay^(|d|-1) on {-left..-1} u {1..right}.
+
+    Returns (d, log_mass) where log_mass = log sum decay^(j-1) over the
+    support — the only piece of the pmf that does NOT cancel in the
+    forward/reverse Hastings ratio (decay^(|d|-1) is shared).
+    ``decay == 1.0`` (static) degenerates to the uniform proposal.
+    """
+    k_side, k_j = jax.random.split(key)
+    left_f = left.astype(jnp.float32)
+    right_f = right.astype(jnp.float32)
+    if decay == 1.0:
+        mass_l, mass_r = left_f, right_f
+    else:
+        mass_l = 1.0 - decay**left_f
+        mass_r = 1.0 - decay**right_f
+    total = jnp.maximum(mass_l + mass_r, 1e-30)
+    go_right = jax.random.uniform(k_side, left.shape) < mass_r / total
+    side_len = jnp.where(go_right, right_f, left_f)
+    u = jax.random.uniform(k_j, left.shape)
+    if decay == 1.0:
+        j = jnp.floor(u * jnp.maximum(side_len, 1.0)) + 1.0
+    else:
+        side_mass = 1.0 - decay**side_len
+        j = jnp.ceil(
+            jnp.log(jnp.maximum(1.0 - u * side_mass, 1e-30))
+            / jnp.log(decay)
+        )
+    j = jnp.clip(j, 1.0, jnp.maximum(side_len, 1.0)).astype(left.dtype)
+    d = jnp.where(go_right, j, -j)
+    return d, jnp.log(total)
+
+
 def event_move_step(
     key,
     events,
@@ -68,25 +101,29 @@ def event_move_step(
     dmax: int,
     mmax: int,
     nmax: int,
+    move_decay: float = 0.9,
 ):
     """Moves up to ``nmax`` events of one transition in time, at ``mmax``
     locations jointly (one MH accept/reject).
 
     Proposal, per chosen location (locations uniform without replacement):
       t_src  ~ Uniform{t : events[loc, t, target] > 0}   (null if none)
-      d      ~ Uniform{-min(dmax,t_src)..-1, 1..min(dmax, T-1-t_src)}
-               (displacements sampled *within* the valid range — with
-               dmax > T, an unconstrained proposal would be rejected ~90%
-               of the time on range grounds alone; the asymmetric support
-               is corrected in the Hastings ratio by the support sizes)
+      d      ~ truncated two-sided geometric with decay ``move_decay`` on
+               {-min(dmax,t_src)..-1} u {1..min(dmax, T-1-t_src)} —
+               sampled *within* the valid range (with dmax > T an
+               unconstrained proposal auto-rejects ~90% of the time), and
+               favoring small displacements (raises acceptance toward the
+               reference's ~23% manual-tuning target,
+               doc/lancs_space_model_concept.tex:325-326).
+               ``move_decay=1.0`` recovers the uniform proposal.
       x      ~ Uniform{1 .. min(nmax, events[loc, t_src, target])}
       move x events from t_src to t_src + d.
 
     Hastings ratio: product over locations of
-      [1/n_nonzero' * 1/min(nmax, count'_dst) * 1/s_rev] /
-      [1/n_nonzero  * 1/min(nmax, count_src)  * 1/s_fwd]
-    on the new/old tensors respectively, with s_* the displacement-support
-    sizes at the source/destination times.
+      [1/n_nonzero' * 1/min(nmax, count'_dst) * Z_fwd] /
+      [1/n_nonzero  * 1/min(nmax, count_src)  * Z_rev]
+    with Z_* the displacement-pmf normalizers at the source/destination
+    times (the decay^(|d|-1) factor is shared and cancels).
 
     Returns:
       (events, state, logp, EventMoveInfo)
@@ -102,9 +139,9 @@ def event_move_step(
 
     left = jnp.minimum(dmax, t_src)  # [mmax]
     right = jnp.minimum(dmax, T - 1 - t_src)
-    s_fwd = jnp.maximum(left + right, 1)
-    r = jax.random.randint(k_d, (mmax,), 0, s_fwd)
-    d = jnp.where(r < left, r - left, r - left + 1)  # skips 0, in range
+    d, log_mass_fwd = _sample_two_sided_geometric(
+        k_d, left, right, move_decay
+    )
 
     count_src = counts[jnp.arange(mmax), t_src]
     cap_fwd = jnp.minimum(jnp.asarray(nmax, dtype), count_src)
@@ -116,10 +153,15 @@ def event_move_step(
     active = has_events & (left + right > 0)
     x_eff = jnp.where(active, x, 0.0)
     t_dst_safe = jnp.clip(t_dst, 0, T - 1)
-    s_rev = jnp.maximum(
-        jnp.minimum(dmax, t_dst_safe) + jnp.minimum(dmax, T - 1 - t_dst_safe),
-        1,
-    )
+    left_r = jnp.minimum(dmax, t_dst_safe)
+    right_r = jnp.minimum(dmax, T - 1 - t_dst_safe)
+    if move_decay == 1.0:
+        mass_rev = (left_r + right_r).astype(jnp.float32)
+    else:
+        mass_rev = (
+            1.0 - move_decay ** left_r.astype(jnp.float32)
+        ) + (1.0 - move_decay ** right_r.astype(jnp.float32))
+    log_mass_rev = jnp.log(jnp.maximum(mass_rev, 1e-30))
 
     # Apply per-location moves sequentially (rows are disjoint — the
     # proposal factorizes — but E->I moves couple all rows through the
@@ -146,12 +188,12 @@ def event_move_step(
     log_q_fwd = (
         -jnp.log(jnp.maximum(n_nonzero, 1))
         - jnp.log(jnp.maximum(cap_fwd, 1.0))
-        - jnp.log(s_fwd.astype(dtype))
+        - log_mass_fwd.astype(dtype)
     )
     log_q_rev = (
         -jnp.log(jnp.maximum(n_nonzero_new, 1))
         - jnp.log(jnp.maximum(cap_rev, 1.0))
-        - jnp.log(s_rev.astype(dtype))
+        - log_mass_rev.astype(dtype)
     )
     hastings = jnp.sum(jnp.where(active, log_q_rev - log_q_fwd, 0.0))
     log_alpha = delta_total + hastings

@@ -70,6 +70,7 @@ class EventKernelConfig(NamedTuple):
     occult_nmax: int = 15
     num_event_time_updates: int = 5
     t_range: tuple = (0, 0)  # (T-21, T) — set by the driver
+    move_decay: float = 0.9  # displacement-pmf decay; 1.0 = uniform
 
 
 def make_mcmc_step(
@@ -139,11 +140,11 @@ def make_mcmc_step(
             ka, kb, kc, kd = jax.random.split(k, 4)
             events, st, logp, i_mse = event_move_step(
                 ka, events, st, logp, move_eval, 0,
-                cfg.dmax, cfg.mmax, cfg.nmax,
+                cfg.dmax, cfg.mmax, cfg.nmax, cfg.move_decay,
             )
             events, st, logp, i_mei = event_move_step(
                 kb, events, st, logp, move_eval, 1,
-                cfg.dmax, cfg.mmax, cfg.nmax,
+                cfg.dmax, cfg.mmax, cfg.nmax, cfg.move_decay,
             )
             events, st, logp, i_ose = occult_step(
                 kc, events, st, logp, occ_eval, 0,

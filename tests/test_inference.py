@@ -139,8 +139,13 @@ def _enumerate_compositions(total, length):
         yield tuple(out)
 
 
-def test_event_move_kernel_exact_stationarity():
-    """Move kernel preserves an enumerable target distribution exactly.
+import pytest
+
+
+@pytest.mark.parametrize("move_decay", [0.9, 1.0])
+def test_event_move_kernel_exact_stationarity(move_decay):
+    """Move kernel preserves an enumerable target distribution exactly —
+    under both the geometric and the uniform displacement proposals.
 
     M=1 location, T=4 times, 3 total events of type 0 => 20 states.
     Target: arbitrary smooth positive weights.  Chi-square the occupancy.
@@ -178,7 +183,8 @@ def test_event_move_kernel_exact_stationarity():
     def body(carry, key):
         events, st, logp = carry
         events, st, logp, info = event_move_step(
-            key, events, st, logp, ev, 0, dmax=3, mmax=1, nmax=2
+            key, events, st, logp, ev, 0, dmax=3, mmax=1, nmax=2,
+            move_decay=move_decay,
         )
         return (events, st, logp), events[0, :, 0]
 
