@@ -53,14 +53,22 @@ def build(nchains, dtype_name="float32"):
     )
     step = make_mcmc_step(model, 16, cfg)
 
-    def many(keys, state, tune):
-        return jax.vmap(step)(keys, state, tune)
+    def many(keys, state, tune, model):
+        return jax.vmap(step, in_axes=(0, 0, 0, None))(
+            keys, state, tune, model
+        )
+
+    # model enters through the jit boundary as an argument (not a baked
+    # constant): required for MSOA-scale problems where the covariate
+    # matrices are hundreds of MB; bound outside jit for a 3-arg interface.
+    jitted = jax.jit(many, donate_argnums=1)
+    fn = lambda keys, state, tune: jitted(keys, state, tune, model)
 
     tune = HMCTunables(
         step_size=jnp.full((nchains,), 0.02, dtype),
         inv_mass_diag=jnp.ones((nchains,) + single.u.shape, dtype),
     )
-    return jax.jit(many, donate_argnums=1), state, tune
+    return fn, state, tune
 
 
 def main():

@@ -41,6 +41,7 @@ class McmcConfig:
     checkpoint: Optional[str] = None
     log_file: Optional[str] = None
     profile_dir: Optional[str] = None
+    debug_nans: bool = False  # enable jax_debug_nans (slow; debugging only)
     warmup: Optional[dict] = None
 
     def __post_init__(self):

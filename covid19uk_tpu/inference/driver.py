@@ -231,7 +231,9 @@ def run_mcmc(
 
     def window(num_draws, adapt_mass):
         run = make_window_runner(step, num_draws, adapt_mass)
-        return jax.jit(jax.vmap(run))
+        # model passed as an (unmapped) argument so covariates are program
+        # inputs rather than multi-MB compiled constants
+        return jax.jit(jax.vmap(run, in_axes=(0, 0, 0, 0, 0, None)))
 
     def write_at(draws, traces, off):
         # draws come chain-major from vmap: [C, n, ...] -> [n, C, ...]
@@ -303,7 +305,7 @@ def run_mcmc(
         t0 = time.time()
         state, da, wf, inv_mass, draws, traces = window(
             schedule.first_window, adapt_mass=False
-        )(jax.random.split(sub, C), state, da, wf, inv_mass)
+        )(jax.random.split(sub, C), state, da, wf, inv_mass, model)
         jax.block_until_ready(state)
         log_window("fast", schedule.first_window, traces, time.time() - t0)
         write(draws, traces)
@@ -325,7 +327,7 @@ def run_mcmc(
             t0 = time.time()
             state, da, wf, inv_mass, draws, traces = window(
                 n, adapt_mass=True
-            )(jax.random.split(sub, C), state, da, wf, inv_mass)
+            )(jax.random.split(sub, C), state, da, wf, inv_mass, model)
             jax.block_until_ready(state)
             log_window("slow", n, traces, time.time() - t0)
             write(draws, traces)
@@ -340,7 +342,7 @@ def run_mcmc(
         t0 = time.time()
         state, da, wf_unused, inv_mass, draws, traces = window(
             schedule.last_window, adapt_mass=False
-        )(jax.random.split(sub, C), state, da, wf, inv_mass)
+        )(jax.random.split(sub, C), state, da, wf, inv_mass, model)
         jax.block_until_ready(state)
         log_window("fast", schedule.last_window, traces, time.time() - t0)
         write(draws, traces)
@@ -352,7 +354,10 @@ def run_mcmc(
     # ---- sampling bursts ------------------------------------------------------
     _log("Sampling...")
     burst = jax.jit(
-        jax.vmap(make_fixed_runner(step, config.num_burst_samples))
+        jax.vmap(
+            make_fixed_runner(step, config.num_burst_samples),
+            in_axes=(0, 0, 0, 0, None),
+        )
     )
 
     # Host-side HDF5 writes run on a single worker thread so burst b's
@@ -380,7 +385,7 @@ def run_mcmc(
         key, sub = jax.random.split(key)
         t0 = time.time()
         state, draws, traces = burst(
-            jax.random.split(sub, C), state, step_size, inv_mass
+            jax.random.split(sub, C), state, step_size, inv_mass, model
         )
         flush_pending()  # overlaps with the device computing this burst
         jax.block_until_ready(state)
@@ -467,6 +472,8 @@ def mcmc(data_file, output_file, config):
     """
     if isinstance(config, dict):
         config = McmcConfig.from_dict(config)
+    if config.debug_nans:
+        jax.config.update("jax_debug_nans", True)
     dtype = jnp.float64 if config.dtype == "float64" else jnp.float32
 
     constant_data = ncio.load_group(data_file, "constant_data")

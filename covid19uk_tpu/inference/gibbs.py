@@ -86,18 +86,23 @@ def make_mcmc_step(
       event_config: static event-kernel knobs.
 
     Returns:
-      ``step(key, state: ChainState, tune: HMCTunables) -> (ChainState, StepTrace)``
+      ``step(key, state, tune, model=None) -> (ChainState, StepTrace)``.
+      When jitting at scale, pass the model as the explicit fourth argument
+      (it is a registered pytree) so its covariate arrays are program
+      *inputs*, not baked-in constants.
     """
     cfg = event_config
     T = model.num_steps
     M = model.data.num_locations
     move_window = min(cfg.dmax + 1, T)
     occult_window = min(cfg.t_range[1] - cfg.t_range[0], T)
+    closed_model = model
 
     from covid19uk_tpu.ops.binomial import binomial_log_pmf_from_rate
     from covid19uk_tpu.models.spec import constrain_log_det_jacobian
 
-    def step(key, state: ChainState, tune: HMCTunables):
+    def step(key, state: ChainState, tune: HMCTunables, model=None):
+        model = closed_model if model is None else model
         k_hmc, k_events = jax.random.split(key)
 
         # The state timeseries depends only on the events, which HMC holds

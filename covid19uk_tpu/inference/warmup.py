@@ -61,14 +61,15 @@ def make_window_runner(mcmc_step, num_draws: int, adapt_mass: bool):
       where draws/traces have a leading ``num_draws`` axis.
     """
 
-    def run(key, state: ChainState, da_state, wf_state, inv_mass):
+    def run(key, state: ChainState, da_state, wf_state, inv_mass,
+            model=None):
         def body(carry, k):
             state, da, wf, inv_mass = carry
             tune = HMCTunables(
                 step_size=dual_averaging.step_size(da),
                 inv_mass_diag=inv_mass,
             )
-            state, trace = mcmc_step(k, state, tune)
+            state, trace = mcmc_step(k, state, tune, model)
             accept = jnp.exp(
                 jnp.minimum(trace.hmc.log_accept_ratio, 0.0)
             )
@@ -92,11 +93,11 @@ def make_fixed_runner(mcmc_step, num_draws: int):
     """Fixed-tuning sampling burst (reference make_fixed_window_sampler,
     inference.py:199-242)."""
 
-    def run(key, state: ChainState, step_size, inv_mass):
+    def run(key, state: ChainState, step_size, inv_mass, model=None):
         tune = HMCTunables(step_size=step_size, inv_mass_diag=inv_mass)
 
         def body(state, k):
-            state, trace = mcmc_step(k, state, tune)
+            state, trace = mcmc_step(k, state, tune, model)
             return state, (state, trace)
 
         keys = jax.random.split(key, num_draws)

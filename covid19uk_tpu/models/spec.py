@@ -193,19 +193,36 @@ def _alpha_timeseries(alpha_0, alpha_t, t_abs):
     return jnp.where(t_abs == 0, alpha_0, b[idx])
 
 
-class CovidUK(NamedTuple):
+@jax.tree_util.register_pytree_node_class
+class CovidUK:
     """The generative model over ``[M, T, 3]`` event tensors.
 
     A pure-function analogue of the reference's TFP JointDistributionNamed
     (model_spec.py:139-299).  ``initial_step`` offsets the absolute time
     index used to gather W / weekday / alpha_t, matching the reference's
     clipped gathers (model_spec.py:232-256).
+
+    Registered as a pytree with the step counts as *static* aux data, so a
+    model can be passed straight through ``jit``/``vmap`` boundaries as an
+    argument — keeping the (potentially hundreds-of-MB at MSOA scale)
+    covariate matrices out of the compiled program's constant pool.
     """
 
-    data: ModelData
-    initial_state: jnp.ndarray  # [M, S]
-    initial_step: int
-    num_steps: int
+    def __init__(self, data, initial_state, initial_step, num_steps):
+        self.data = data  # ModelData
+        self.initial_state = initial_state  # [M, S]
+        self.initial_step = initial_step  # static int
+        self.num_steps = num_steps  # static int
+
+    def tree_flatten(self):
+        return (self.data, self.initial_state), (
+            self.initial_step,
+            self.num_steps,
+        )
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        return cls(children[0], children[1], aux[0], aux[1])
 
     # ---------- rates ----------
 
