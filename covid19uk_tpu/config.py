@@ -7,7 +7,7 @@ fast with a pointed message.  The raw-dict interface is still accepted
 everywhere for reference parity.
 """
 
-from dataclasses import dataclass, field, fields
+from dataclasses import dataclass, fields
 from typing import Optional
 
 

@@ -11,7 +11,6 @@ import json
 import time
 from warnings import warn
 
-import numpy as np
 import pandas as pd
 
 from covid19uk_tpu.data.area_code import AreaCodeData

@@ -21,7 +21,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from covid19uk_tpu.config import McmcConfig
-from covid19uk_tpu.utils.logging import RunLog, StageTimer
+from covid19uk_tpu.utils.logging import RunLog
 
 from covid19uk_tpu.models import seir
 from covid19uk_tpu.models.spec import (

@@ -19,7 +19,7 @@ which touches only an O(window) slice instead of re-evaluating the O(M*T)
 likelihood — measured ~10x cheaper at full-UK scale.
 """
 
-from typing import Callable, NamedTuple
+from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp

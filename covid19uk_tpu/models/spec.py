@@ -24,7 +24,7 @@ with softplus bijection on (psi, sigma_space) (``inference.py:525-535``).
 """
 
 import math
-from typing import NamedTuple, Optional
+from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp

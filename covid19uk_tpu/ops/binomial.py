@@ -12,7 +12,6 @@ is what makes the whole likelihood float32-safe on TPU, where float64 is
 emulated and slow.
 """
 
-import jax
 import jax.numpy as jnp
 from jax import lax
 

@@ -12,8 +12,6 @@ the functional upgrade of the reference's single-chain RunningVariance
 (``inference.py:36-47``).
 """
 
-from functools import partial
-
 import jax
 import jax.numpy as jnp
 from jax.sharding import NamedSharding, PartitionSpec as P

@@ -8,7 +8,6 @@ iteration axis after thinning, so downstream consumers are chain-agnostic.
 import pickle as pkl
 
 import h5py
-import numpy as np
 
 
 def thin_posterior(input_file, output_file, config):
