@@ -36,6 +36,7 @@ class McmcConfig:
     num_adaptation_iterations: int = 1000  # accepted for parity; unused
     num_chains: int = 1
     pooled_adaptation: bool = False  # pool step-size/mass across chains
+    use_mesh: bool = False  # shard chains over all visible devices
     dtype: str = "float32"
     seed: int = 1
     checkpoint: Optional[str] = None

@@ -165,6 +165,30 @@ def run_mcmc(
     )
     key = jax.random.PRNGKey(seed)
 
+    # Chain-axis mesh sharding: placing the inputs is all it takes — jit
+    # propagates the shardings through the windows/bursts and the chain
+    # axis is pure data parallelism (zero collectives in the transition).
+    shard = lambda x: x
+    if config.use_mesh and jax.device_count() > 1:
+        from jax.sharding import NamedSharding, PartitionSpec
+
+        from covid19uk_tpu.parallel.mesh import chain_mesh
+
+        n_dev = jax.device_count()
+        if C % n_dev != 0:
+            raise ValueError(
+                f"num_chains={C} must be a multiple of device count {n_dev} "
+                "when use_mesh is set"
+            )
+        mesh = chain_mesh(n_dev)
+
+        def shard(x):
+            spec = PartitionSpec("chain", *([None] * (x.ndim - 1)))
+            return jax.device_put(x, NamedSharding(mesh, spec))
+
+        state = jax.tree.map(shard, state)
+        _log(f"Sharding {C} chains over {n_dev} devices")
+
     squeeze = C == 1
 
     def to_samples(draws):
@@ -227,7 +251,9 @@ def run_mcmc(
         jnp.arange(C)
     )
     wf = jax.vmap(lambda _: welford.init((P,), dtype))(jnp.arange(C))
-    inv_mass = jnp.ones((C, P), dtype)
+    inv_mass = shard(jnp.ones((C, P), dtype))
+    da = jax.tree.map(shard, da)
+    wf = jax.tree.map(shard, wf)
 
     def window(num_draws, adapt_mass):
         run = make_window_runner(step, num_draws, adapt_mass)
@@ -305,7 +331,7 @@ def run_mcmc(
         t0 = time.time()
         state, da, wf, inv_mass, draws, traces = window(
             schedule.first_window, adapt_mass=False
-        )(jax.random.split(sub, C), state, da, wf, inv_mass, model)
+        )(shard(jax.random.split(sub, C)), state, da, wf, inv_mass, model)
         jax.block_until_ready(state)
         log_window("fast", schedule.first_window, traces, time.time() - t0)
         write(draws, traces)
@@ -327,7 +353,7 @@ def run_mcmc(
             t0 = time.time()
             state, da, wf, inv_mass, draws, traces = window(
                 n, adapt_mass=True
-            )(jax.random.split(sub, C), state, da, wf, inv_mass, model)
+            )(shard(jax.random.split(sub, C)), state, da, wf, inv_mass, model)
             jax.block_until_ready(state)
             log_window("slow", n, traces, time.time() - t0)
             write(draws, traces)
@@ -342,7 +368,7 @@ def run_mcmc(
         t0 = time.time()
         state, da, wf_unused, inv_mass, draws, traces = window(
             schedule.last_window, adapt_mass=False
-        )(jax.random.split(sub, C), state, da, wf, inv_mass, model)
+        )(shard(jax.random.split(sub, C)), state, da, wf, inv_mass, model)
         jax.block_until_ready(state)
         log_window("fast", schedule.last_window, traces, time.time() - t0)
         write(draws, traces)
@@ -385,7 +411,8 @@ def run_mcmc(
         key, sub = jax.random.split(key)
         t0 = time.time()
         state, draws, traces = burst(
-            jax.random.split(sub, C), state, step_size, inv_mass, model
+            shard(jax.random.split(sub, C)), state, step_size, inv_mass,
+            model,
         )
         flush_pending()  # overlaps with the device computing this burst
         jax.block_until_ready(state)

@@ -1,0 +1,42 @@
+"""Driver-level mesh sharding test: chains sharded over 8 CPU devices."""
+
+import h5py
+import numpy as np
+import pytest
+
+from tests.test_driver import make_synthetic_datafile
+
+
+@pytest.mark.slow
+def test_use_mesh_matches_unsharded(tmp_path, rng):
+    """use_mesh shards chains over all devices; pure data parallelism must
+    reproduce the unsharded run (same seeds) to float tolerance."""
+    import jax
+
+    assert jax.device_count() == 8  # conftest forces 8 virtual CPU devices
+
+    from covid19uk_tpu.inference.driver import mcmc
+
+    path = str(tmp_path / "data.h5")
+    make_synthetic_datafile(path, rng, M=3, T0=25)
+
+    cfg = dict(
+        dmax=4, nmax=8, m=2, occult_nmax=4, num_event_time_updates=2,
+        num_bursts=1, num_burst_samples=5, thin=1, dtype="float64",
+        seed=1, num_chains=8,
+        warmup=dict(first_window=6, slow_window=4, num_slow_windows=1,
+                    last_window=4),
+    )
+    out_plain = str(tmp_path / "plain.h5")
+    mcmc(path, out_plain, dict(cfg))
+    out_mesh = str(tmp_path / "mesh.h5")
+    mcmc(path, out_mesh, dict(cfg, use_mesh=True))
+
+    with h5py.File(out_plain, "r") as a, h5py.File(out_mesh, "r") as b:
+        np.testing.assert_allclose(
+            a["samples/psi"][:], b["samples/psi"][:], rtol=1e-10
+        )
+        np.testing.assert_allclose(
+            a["samples/seir"][:], b["samples/seir"][:]
+        )
+        assert a["samples/psi"].shape == (19, 8)
