@@ -103,18 +103,6 @@ def make_context(model: CovidUK, params: Parameters) -> LikelihoodContext:
     )
 
 
-def _rate_se_rows(ctx, state, loc, idx):
-    """S->E rate at one location over window time indices ``idx`` [W]."""
-    I_cols = state[:, idx, 2]  # [M, W]
-    commute = ctx.Cstar[loc] @ (I_cols / ctx.N[:, None])  # [W]
-    return (
-        ctx.exp_eta[loc, idx]
-        * (state[loc, idx, 2] + ctx.psi_w[idx] * commute)
-        / ctx.N[loc]
-        + RATE_EPS
-    )
-
-
 def _rate_diff_no_lgamma(n, k, r_old, r_new):
     """Log-pmf delta when only the rate changed (n, k fixed): the lgamma
     terms cancel analytically."""
@@ -126,129 +114,101 @@ def _rate_diff_no_lgamma(n, k, r_old, r_new):
 
 
 class WindowedEvaluator(NamedTuple):
-    """Incremental log-likelihood deltas over bounded time windows."""
+    """Incremental log-likelihood deltas over bounded time windows.
+
+    Windows are *contiguous*, so all window reads are ``dynamic_slice``s
+    (fast on TPU) rather than clipped gathers; the slice start is clamped
+    into range, which is exact because every cell whose (n, k, rate) did
+    not change contributes a bitwise-zero difference — no masks needed.
+    """
 
     ctx: LikelihoodContext
     window: int  # static: dmax + 1 for moves; t_range length for occults
+
+    def _delta(self, events, state, loc, s, k, events_new, state_new):
+        """Shared windowed delta: slice [s, s+W) along time.
+
+        k == 0 (S->E changed): only the loc row's transition-{0,1} terms
+        differ, rates unchanged.
+        k == 1 (E->I changed): S->E rates change at all locations (rate-only
+        cells: lgammas cancel; rank-1 commute update) plus the loc row's
+        transition-{1,2} terms.
+        """
+        ctx = self.ctx
+        W = self.window
+
+        def tsl(a, axis):
+            return jax.lax.dynamic_slice_in_dim(a, s, W, axis=axis)
+
+        row_old = tsl(state[loc], 0)  # [W, S]
+        row_new = tsl(state_new[loc], 0)
+        evrow_old = tsl(events[loc], 0)  # [W, X]
+        evrow_new = tsl(events_new[loc], 0)
+
+        if k == 0:
+            # rate_se at the loc row over the window (I unchanged):
+            I_cols = tsl(state[..., 2], 1)  # [M, W]
+            commute = ctx.Cstar[loc] @ (I_cols / ctx.N[:, None])  # [W]
+            rate_se = (
+                tsl(ctx.exp_eta[loc], 0)
+                * (row_old[:, 2] + tsl(ctx.psi_w, 0) * commute)
+                / ctx.N[loc]
+                + RATE_EPS
+            )
+            lp_old = binomial_log_pmf_from_rate(
+                row_old[:, 0], evrow_old[:, 0], rate_se
+            ) + binomial_log_pmf_from_rate(
+                row_old[:, 1], evrow_old[:, 1], ctx.nu
+            )
+            lp_new = binomial_log_pmf_from_rate(
+                row_new[:, 0], evrow_new[:, 0], rate_se
+            ) + binomial_log_pmf_from_rate(
+                row_new[:, 1], evrow_new[:, 1], ctx.nu
+            )
+            return jnp.sum(lp_new - lp_old)
+
+        # k == 1: all-location S->E rate-only cells (S and ev0 unchanged)
+        I_old = tsl(state[..., 2], 1)  # [M, W]
+        I_new = tsl(state_new[..., 2], 1)
+        commute_old = ctx.Cstar @ (I_old / ctx.N[:, None])
+        dI = (I_new - I_old)[loc] / ctx.N[loc]  # rank-1: only loc changed
+        commute_new = commute_old + ctx.Cstar[:, loc][:, None] * dI[None, :]
+        pref = tsl(ctx.exp_eta, 1) / ctx.N[:, None]
+        pw = tsl(ctx.psi_w, 0)[None, :]
+        r_old = pref * (I_old + pw * commute_old) + RATE_EPS
+        r_new = pref * (I_new + pw * commute_new) + RATE_EPS
+        delta = jnp.sum(
+            _rate_diff_no_lgamma(
+                tsl(state[..., 0], 1), tsl(events[..., 0], 1), r_old, r_new
+            )
+        )
+        # loc-row E->I (n_E, ev1) and I->R (n_I) terms
+        rate_ir = tsl(ctx.rate_ir_t, 0)
+        lp_old = binomial_log_pmf_from_rate(
+            row_old[:, 1], evrow_old[:, 1], ctx.nu
+        ) + binomial_log_pmf_from_rate(row_old[:, 2], evrow_old[:, 2], rate_ir)
+        lp_new = binomial_log_pmf_from_rate(
+            row_new[:, 1], evrow_new[:, 1], ctx.nu
+        ) + binomial_log_pmf_from_rate(row_new[:, 2], evrow_new[:, 2], rate_ir)
+        return delta + jnp.sum(lp_new - lp_old)
 
     def move_delta(self, events, state, loc, t_from, t_to, x, k,
                    events_new, state_new):
         """Delta log-lik for moving x events of transition k, loc row,
         from t_from to t_to.  ``events_new/state_new`` already updated."""
         T = events.shape[-2]
-        W = self.window
-        ctx = self.ctx
-        dtype = events.dtype
-        t0 = jnp.minimum(t_from, t_to)
-        idx_raw = t0 + jnp.arange(W)
-        mask = idx_raw < T
-        idx = jnp.clip(idx_raw, 0, T - 1)
-
-        if k == 0:
-            # S, E change at loc only; no rates change.
-            rate_se = _rate_se_rows(ctx, state, loc, idx)  # I unchanged
-            lp_old = binomial_log_pmf_from_rate(
-                state[loc, idx, 0], events[loc, idx, 0], rate_se
-            ) + binomial_log_pmf_from_rate(
-                state[loc, idx, 1], events[loc, idx, 1], ctx.nu
-            )
-            lp_new = binomial_log_pmf_from_rate(
-                state_new[loc, idx, 0], events_new[loc, idx, 0], rate_se
-            ) + binomial_log_pmf_from_rate(
-                state_new[loc, idx, 1], events_new[loc, idx, 1], ctx.nu
-            )
-            return jnp.sum(jnp.where(mask, lp_new - lp_old, 0.0))
-
-        # k == 1: E, I change at loc; S->E rates change at ALL locations
-        # inside (t0, t_max]; loc-row E->I and I->R terms change too.
-        # (1) all-location S->E rate-only delta over the open window.
-        idx1_raw = t0 + 1 + jnp.arange(W - 1)
-        mask1 = idx1_raw < T
-        idx1 = jnp.clip(idx1_raw, 0, T - 1)
-        I_old = state[:, idx1, 2]  # [M, W-1]
-        I_new = state_new[:, idx1, 2]
-        commute_old = ctx.Cstar @ (I_old / ctx.N[:, None])
-        # rank-1 update: only row `loc` of I changed
-        dI = (I_new - I_old)[loc] / ctx.N[loc]  # [W-1]
-        commute_new = commute_old + ctx.Cstar[:, loc][:, None] * dI[None, :]
-        pref = ctx.exp_eta[:, idx1] / ctx.N[:, None]
-        r_old = pref * (I_old + ctx.psi_w[idx1][None, :] * commute_old) + RATE_EPS
-        r_new = pref * (I_new + ctx.psi_w[idx1][None, :] * commute_new) + RATE_EPS
-        d0 = _rate_diff_no_lgamma(
-            state[:, idx1, 0], events[:, idx1, 0], r_old, r_new
-        )
-        delta = jnp.sum(jnp.where(mask1[None, :], d0, 0.0))
-
-        # (2) loc-row E->I (n_E, ev1 change) and I->R (n_I changes) terms
-        # over the closed window.
-        lp_old = binomial_log_pmf_from_rate(
-            state[loc, idx, 1], events[loc, idx, 1], ctx.nu
-        ) + binomial_log_pmf_from_rate(
-            state[loc, idx, 2], events[loc, idx, 2], ctx.rate_ir_t[idx]
-        )
-        lp_new = binomial_log_pmf_from_rate(
-            state_new[loc, idx, 1], events_new[loc, idx, 1], ctx.nu
-        ) + binomial_log_pmf_from_rate(
-            state_new[loc, idx, 2], events_new[loc, idx, 2], ctx.rate_ir_t[idx]
-        )
-        delta += jnp.sum(jnp.where(mask, lp_new - lp_old, 0.0))
-        return delta
+        s = jnp.clip(jnp.minimum(t_from, t_to), 0, T - self.window)
+        return self._delta(events, state, loc, s, k, events_new, state_new)
 
     def occult_delta(self, events, state, loc, t, x_signed, k,
                      events_new, state_new):
         """Delta log-lik for adding/deleting ``|x_signed|`` occult events of
         transition k at (loc, t).  State changes for all t' > t; with
-        t >= T - window the affected range fits the static window."""
+        t >= T - window the affected range fits the static window, so the
+        slice start is simply T - window."""
         T = events.shape[-2]
-        W = self.window
-        ctx = self.ctx
-        idx_raw = t + jnp.arange(W)
-        mask = idx_raw < T
-        idx = jnp.clip(idx_raw, 0, T - 1)
-
-        if k == 0:
-            rate_se = _rate_se_rows(ctx, state, loc, idx)
-            lp_old = binomial_log_pmf_from_rate(
-                state[loc, idx, 0], events[loc, idx, 0], rate_se
-            ) + binomial_log_pmf_from_rate(
-                state[loc, idx, 1], events[loc, idx, 1], ctx.nu
-            )
-            lp_new = binomial_log_pmf_from_rate(
-                state_new[loc, idx, 0], events_new[loc, idx, 0], rate_se
-            ) + binomial_log_pmf_from_rate(
-                state_new[loc, idx, 1], events_new[loc, idx, 1], ctx.nu
-            )
-            return jnp.sum(jnp.where(mask, lp_new - lp_old, 0.0))
-
-        # k == 1: rates change at all locations for t' > t.
-        idx1_raw = t + 1 + jnp.arange(W)
-        mask1 = idx1_raw < T
-        idx1 = jnp.clip(idx1_raw, 0, T - 1)
-        I_old = state[:, idx1, 2]
-        I_new = state_new[:, idx1, 2]
-        commute_old = ctx.Cstar @ (I_old / ctx.N[:, None])
-        dI = (I_new - I_old)[loc] / ctx.N[loc]
-        commute_new = commute_old + ctx.Cstar[:, loc][:, None] * dI[None, :]
-        pref = ctx.exp_eta[:, idx1] / ctx.N[:, None]
-        r_old = pref * (I_old + ctx.psi_w[idx1][None, :] * commute_old) + RATE_EPS
-        r_new = pref * (I_new + ctx.psi_w[idx1][None, :] * commute_new) + RATE_EPS
-        d0 = _rate_diff_no_lgamma(
-            state[:, idx1, 0], events[:, idx1, 0], r_old, r_new
-        )
-        delta = jnp.sum(jnp.where(mask1[None, :], d0, 0.0))
-
-        lp_old = binomial_log_pmf_from_rate(
-            state[loc, idx, 1], events[loc, idx, 1], ctx.nu
-        ) + binomial_log_pmf_from_rate(
-            state[loc, idx, 2], events[loc, idx, 2], ctx.rate_ir_t[idx]
-        )
-        lp_new = binomial_log_pmf_from_rate(
-            state_new[loc, idx, 1], events_new[loc, idx, 1], ctx.nu
-        ) + binomial_log_pmf_from_rate(
-            state_new[loc, idx, 2], events_new[loc, idx, 2], ctx.rate_ir_t[idx]
-        )
-        delta += jnp.sum(jnp.where(mask, lp_new - lp_old, 0.0))
-        return delta
+        s = jnp.asarray(T - self.window)
+        return self._delta(events, state, loc, s, k, events_new, state_new)
 
 
 class FullEvaluator(NamedTuple):
