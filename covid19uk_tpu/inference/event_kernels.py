@@ -165,20 +165,22 @@ def event_move_step(
 
     # Apply per-location moves sequentially (rows are disjoint — the
     # proposal factorizes — but E->I moves couple all rows through the
-    # infection rate, so deltas telescope exactly).
+    # infection rate, so deltas telescope exactly).  Each delta is
+    # evaluated from the pre-move tensors (the evaluator reconstructs the
+    # tiny changed window internally), so the subsequent full-tensor update
+    # sees its operand dead and XLA updates in place.
     ev_cur, st_cur = events, state
     delta_total = jnp.zeros((), dtype)
     for i in range(mmax):
-        ev_new, st_new = apply_event_delta(
+        delta_i = evaluator.move_delta(
             ev_cur, st_cur, locs[i], t_src[i], t_dst_safe[i], x_eff[i],
             target_id,
         )
-        delta_i = evaluator.move_delta(
+        ev_cur, st_cur = apply_event_delta(
             ev_cur, st_cur, locs[i], t_src[i], t_dst_safe[i], x_eff[i],
-            target_id, ev_new, st_new,
+            target_id,
         )
         delta_total = delta_total + delta_i
-        ev_cur, st_cur = ev_new, st_new
 
     # Hastings correction (only for active locations; null moves cancel).
     counts_new = ev_cur[locs, :, target_id]
@@ -264,11 +266,11 @@ def occult_step(
     x = jnp.where(is_add, x_add, jnp.where(can_delete, x_del, 0.0))
     delta_x = jnp.where(is_add, x, -x)
 
+    delta_lp = evaluator.occult_delta(
+        events, state, loc, t, delta_x, target_id
+    )
     ev_new, st_new = apply_event_delta(
         events, state, loc, t, t, delta_x, target_id, occult=True
-    )
-    delta_lp = evaluator.occult_delta(
-        events, state, loc, t, delta_x, target_id, ev_new, st_new
     )
 
     # Hastings: forward-add has q_x = 1/nmax, reverse-delete has

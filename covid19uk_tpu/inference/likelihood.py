@@ -125,8 +125,14 @@ class WindowedEvaluator(NamedTuple):
     ctx: LikelihoodContext
     window: int  # static: dmax + 1 for moves; t_range length for occults
 
-    def _delta(self, events, state, loc, s, k, events_new, state_new):
+    def _delta(self, events, state, loc, s, k, t_from, t_to, x, occult):
         """Shared windowed delta: slice [s, s+W) along time.
+
+        The "new" window slices are reconstructed locally from the move
+        descriptor instead of reading materialized new tensors — this keeps
+        the *old* full tensors dead at update time, so XLA performs the
+        actual event/state updates in place (the full-tensor copies were
+        the dominant HBM traffic of the sweep).
 
         k == 0 (S->E changed): only the loc row's transition-{0,1} terms
         differ, rates unchanged.
@@ -136,14 +142,29 @@ class WindowedEvaluator(NamedTuple):
         """
         ctx = self.ctx
         W = self.window
+        dtype = events.dtype
 
         def tsl(a, axis):
             return jax.lax.dynamic_slice_in_dim(a, s, W, axis=axis)
 
         row_old = tsl(state[loc], 0)  # [W, S]
-        row_new = tsl(state_new[loc], 0)
         evrow_old = tsl(events[loc], 0)  # [W, X]
-        evrow_new = tsl(events_new[loc], 0)
+
+        # Reconstruct the loc row's new window: event delta at the local
+        # positions, state delta x*S_k on the in-window part of the
+        # open-closed interval (occult: all p > t_to).
+        p = s + jnp.arange(W)
+        stoich_k = jnp.asarray(_STOICH[k], dtype)
+        if occult:
+            w_p = (p > t_to).astype(dtype)
+            ev_delta = jnp.where(p == t_to, x, 0.0)
+        else:
+            w_p = (p > t_to).astype(dtype) - (p > t_from).astype(dtype)
+            ev_delta = jnp.where(p == t_to, x, 0.0) - jnp.where(
+                p == t_from, x, 0.0
+            )
+        row_new = row_old + x * w_p[:, None] * stoich_k[None, :]
+        evrow_new = evrow_old.at[:, k].add(ev_delta)
 
         if k == 0:
             # rate_se at the loc row over the window (I unchanged):
@@ -169,9 +190,10 @@ class WindowedEvaluator(NamedTuple):
 
         # k == 1: all-location S->E rate-only cells (S and ev0 unchanged)
         I_old = tsl(state[..., 2], 1)  # [M, W]
-        I_new = tsl(state_new[..., 2], 1)
+        dI_row = x * w_p * jnp.asarray(_STOICH[1][2], dtype)  # [W]
+        I_new = I_old.at[loc].add(dI_row)
         commute_old = ctx.Cstar @ (I_old / ctx.N[:, None])
-        dI = (I_new - I_old)[loc] / ctx.N[loc]  # rank-1: only loc changed
+        dI = dI_row / ctx.N[loc]  # rank-1: only loc changed
         commute_new = commute_old + ctx.Cstar[:, loc][:, None] * dI[None, :]
         pref = tsl(ctx.exp_eta, 1) / ctx.N[:, None]
         pw = tsl(ctx.psi_w, 0)[None, :]
@@ -192,35 +214,42 @@ class WindowedEvaluator(NamedTuple):
         ) + binomial_log_pmf_from_rate(row_new[:, 2], evrow_new[:, 2], rate_ir)
         return delta + jnp.sum(lp_new - lp_old)
 
-    def move_delta(self, events, state, loc, t_from, t_to, x, k,
-                   events_new, state_new):
+    def move_delta(self, events, state, loc, t_from, t_to, x, k):
         """Delta log-lik for moving x events of transition k, loc row,
-        from t_from to t_to.  ``events_new/state_new`` already updated."""
+        from t_from to t_to — evaluated from the *pre-move* tensors."""
         T = events.shape[-2]
         s = jnp.clip(jnp.minimum(t_from, t_to), 0, T - self.window)
-        return self._delta(events, state, loc, s, k, events_new, state_new)
+        return self._delta(
+            events, state, loc, s, k, t_from, t_to, x, occult=False
+        )
 
-    def occult_delta(self, events, state, loc, t, x_signed, k,
-                     events_new, state_new):
+    def occult_delta(self, events, state, loc, t, x_signed, k):
         """Delta log-lik for adding/deleting ``|x_signed|`` occult events of
-        transition k at (loc, t).  State changes for all t' > t; with
-        t >= T - window the affected range fits the static window, so the
-        slice start is simply T - window."""
+        transition k at (loc, t) — evaluated from the pre-update tensors.
+        State changes for all t' > t; with t >= T - window the affected
+        range fits the static window, so the slice start is T - window."""
         T = events.shape[-2]
         s = jnp.asarray(T - self.window)
-        return self._delta(events, state, loc, s, k, events_new, state_new)
+        return self._delta(
+            events, state, loc, s, k, t, t, x_signed, occult=True
+        )
 
 
 class FullEvaluator(NamedTuple):
     """Full re-evaluation of a caller-supplied density (generic; used by
-    toy-target tests and as the reference for delta-consistency tests)."""
+    toy-target tests and as the reference for delta-consistency tests).
+    Materializes the proposed tensor internally — O(M*T) per proposal."""
 
     logp_fn: Callable  # events -> scalar
 
-    def move_delta(self, events, state, loc, t_from, t_to, x, k,
-                   events_new, state_new):
+    def move_delta(self, events, state, loc, t_from, t_to, x, k):
+        events_new, _ = apply_event_delta(
+            events, state, loc, t_from, t_to, x, k
+        )
         return self.logp_fn(events_new) - self.logp_fn(events)
 
-    def occult_delta(self, events, state, loc, t, x_signed, k,
-                     events_new, state_new):
+    def occult_delta(self, events, state, loc, t, x_signed, k):
+        events_new, _ = apply_event_delta(
+            events, state, loc, t, t, x_signed, k, occult=True
+        )
         return self.logp_fn(events_new) - self.logp_fn(events)
