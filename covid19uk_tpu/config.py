@@ -30,6 +30,7 @@ class McmcConfig:
     occult_nmax: int = 15
     num_event_time_updates: int = 5
     move_decay: float = 0.9  # event-move displacement decay; 1.0 = uniform
+    x_decay: float = 0.9  # event-count proposal decay; 1.0 = uniform
     num_bursts: int = 50
     num_burst_samples: int = 100
     thin: int = 1
@@ -54,10 +55,10 @@ class McmcConfig:
             v = getattr(self, name)
             if not isinstance(v, int) or v < 1:
                 raise ValueError(f"Mcmc.{name} must be a positive int, got {v!r}")
-        if not (0.0 < self.move_decay <= 1.0):
-            raise ValueError(
-                f"Mcmc.move_decay must be in (0, 1], got {self.move_decay!r}"
-            )
+        for name in ("move_decay", "x_decay"):
+            v = getattr(self, name)
+            if not (0.0 < v <= 1.0):
+                raise ValueError(f"Mcmc.{name} must be in (0, 1], got {v!r}")
         if self.dtype not in ("float32", "float64"):
             raise ValueError(
                 f"Mcmc.dtype must be float32 or float64, got {self.dtype!r}"

@@ -546,6 +546,7 @@ def mcmc(data_file, output_file, config):
         num_event_time_updates=config.num_event_time_updates,
         t_range=(T - 21, T),
         move_decay=config.move_decay,
+        x_decay=config.x_decay,
     )
 
     u0 = jnp.zeros((6 + (T - 1) + M,), dtype)  # reference inference.py:563-576

@@ -91,6 +91,34 @@ def _sample_two_sided_geometric(key, left, right, decay):
     return d, jnp.log(total)
 
 
+def _sample_truncated_geometric(key, cap, decay):
+    """Samples x from P(x) ~ decay^(x-1) on {1..cap} (cap float array).
+
+    Returns (x, log_mass) with log_mass = log sum decay^(x-1) over the
+    support (the non-cancelling Hastings piece).  decay==1.0 -> uniform.
+    """
+    cap_f = jnp.maximum(cap, 1.0)
+    u = jax.random.uniform(key, jnp.shape(cap))
+    if decay == 1.0:
+        x = jnp.floor(u * cap_f) + 1.0
+        log_mass = jnp.log(cap_f)
+    else:
+        mass = 1.0 - decay**cap_f
+        x = jnp.ceil(
+            jnp.log(jnp.maximum(1.0 - u * mass, 1e-30)) / jnp.log(decay)
+        )
+        log_mass = jnp.log(jnp.maximum(mass, 1e-30))
+    return jnp.clip(x, 1.0, cap_f), log_mass
+
+
+def _log_mass_geometric(cap, decay):
+    """log sum decay^(x-1) over {1..cap} (the reverse-side normalizer)."""
+    cap_f = jnp.maximum(cap, 1.0)
+    if decay == 1.0:
+        return jnp.log(cap_f)
+    return jnp.log(jnp.maximum(1.0 - decay**cap_f, 1e-30))
+
+
 def event_move_step(
     key,
     events,
@@ -102,6 +130,7 @@ def event_move_step(
     mmax: int,
     nmax: int,
     move_decay: float = 0.9,
+    x_decay: float = 1.0,
 ):
     """Moves up to ``nmax`` events of one transition in time, at ``mmax``
     locations jointly (one MH accept/reject).
@@ -116,7 +145,9 @@ def event_move_step(
                reference's ~23% manual-tuning target,
                doc/lancs_space_model_concept.tex:325-326).
                ``move_decay=1.0`` recovers the uniform proposal.
-      x      ~ Uniform{1 .. min(nmax, events[loc, t_src, target])}
+      x      ~ truncated geometric with decay ``x_decay`` on
+               {1 .. min(nmax, events[loc, t_src, target])}
+               (``x_decay=1.0``, the default, is uniform)
       move x events from t_src to t_src + d.
 
     Hastings ratio: product over locations of
@@ -145,9 +176,8 @@ def event_move_step(
 
     count_src = counts[jnp.arange(mmax), t_src]
     cap_fwd = jnp.minimum(jnp.asarray(nmax, dtype), count_src)
-    x = jax.random.randint(
-        k_x, (mmax,), 1, jnp.maximum(cap_fwd, 1.0).astype(jnp.int32) + 1
-    ).astype(dtype)
+    x, log_mass_x_fwd = _sample_truncated_geometric(k_x, cap_fwd, x_decay)
+    x = x.astype(dtype)
 
     t_dst = t_src + d  # always within [0, T)
     active = has_events & (left + right > 0)
@@ -189,12 +219,12 @@ def event_move_step(
     cap_rev = jnp.minimum(jnp.asarray(nmax, dtype), count_dst_new)
     log_q_fwd = (
         -jnp.log(jnp.maximum(n_nonzero, 1))
-        - jnp.log(jnp.maximum(cap_fwd, 1.0))
+        - log_mass_x_fwd.astype(dtype)
         - log_mass_fwd.astype(dtype)
     )
     log_q_rev = (
         -jnp.log(jnp.maximum(n_nonzero_new, 1))
-        - jnp.log(jnp.maximum(cap_rev, 1.0))
+        - _log_mass_geometric(cap_rev, x_decay).astype(dtype)
         - log_mass_rev.astype(dtype)
     )
     hastings = jnp.sum(jnp.where(active, log_q_rev - log_q_fwd, 0.0))
@@ -233,13 +263,15 @@ def occult_step(
     target_id: int,
     t_range,
     nmax: int,
+    x_decay: float = 1.0,
 ):
     """Adds or deletes unobserved ("occult") events of one transition.
 
     Proposal: location ~ Uniform(M); t ~ Uniform[t_range); add/delete with
     probability 1/2 each;
-      add:    x ~ Uniform{1..nmax}
-      delete: x ~ Uniform{1..min(nmax, events[loc, t, target])} (null if 0).
+      add:    x ~ TruncGeom(x_decay){1..nmax}
+      delete: x ~ TruncGeom(x_decay){1..min(nmax, events[loc, t, target])}
+              (null if 0); x_decay=1.0 (default) is uniform.
     Reference contract: ``UncalibratedOccultUpdate`` with
     ``t_range=[T-21, T)``, ``nmax=occult_nmax``
     (mcmc_kernel_factory.py:89-113, inference.py:334-341).
@@ -258,10 +290,12 @@ def occult_step(
 
     count = events[loc, t, target_id]
     cap_del = jnp.minimum(jnp.asarray(nmax, dtype), count)
-    x_add = jax.random.randint(k_x, (), 1, nmax + 1).astype(dtype)
-    x_del = jax.random.randint(
-        k_x, (), 1, jnp.maximum(cap_del, 1.0).astype(jnp.int32) + 1
-    ).astype(dtype)
+    x_add, _ = _sample_truncated_geometric(
+        k_x, jnp.asarray(float(nmax)), x_decay
+    )
+    x_add = x_add.astype(dtype)
+    x_del, _ = _sample_truncated_geometric(k_x, cap_del, x_decay)
+    x_del = x_del.astype(dtype)
     can_delete = count > 0
     x = jnp.where(is_add, x_add, jnp.where(can_delete, x_del, 0.0))
     delta_x = jnp.where(is_add, x, -x)
@@ -276,11 +310,12 @@ def occult_step(
     # Hastings: forward-add has q_x = 1/nmax, reverse-delete has
     # q_x = 1/min(nmax, count + x); vice versa for forward-delete.
     # Location/time/direction factors cancel.
-    log_h_add = jnp.log(jnp.asarray(nmax, dtype)) - jnp.log(
-        jnp.minimum(jnp.asarray(nmax, dtype), count + x_add)
+    nmax_f = jnp.asarray(float(nmax))
+    log_h_add = _log_mass_geometric(nmax_f, x_decay) - _log_mass_geometric(
+        jnp.minimum(nmax_f, count + x_add), x_decay
     )
-    log_h_del = jnp.log(jnp.maximum(cap_del, 1.0)) - jnp.log(
-        jnp.asarray(nmax, dtype)
+    log_h_del = _log_mass_geometric(cap_del, x_decay) - _log_mass_geometric(
+        nmax_f, x_decay
     )
     hastings = jnp.where(is_add, log_h_add, log_h_del)
 

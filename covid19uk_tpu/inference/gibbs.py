@@ -71,6 +71,7 @@ class EventKernelConfig(NamedTuple):
     num_event_time_updates: int = 5
     t_range: tuple = (0, 0)  # (T-21, T) — set by the driver
     move_decay: float = 0.9  # displacement-pmf decay; 1.0 = uniform
+    x_decay: float = 0.9  # event-count-pmf decay; 1.0 = uniform
 
 
 def make_mcmc_step(
@@ -145,19 +146,19 @@ def make_mcmc_step(
             ka, kb, kc, kd = jax.random.split(k, 4)
             events, st, logp, i_mse = event_move_step(
                 ka, events, st, logp, move_eval, 0,
-                cfg.dmax, cfg.mmax, cfg.nmax, cfg.move_decay,
+                cfg.dmax, cfg.mmax, cfg.nmax, cfg.move_decay, cfg.x_decay,
             )
             events, st, logp, i_mei = event_move_step(
                 kb, events, st, logp, move_eval, 1,
-                cfg.dmax, cfg.mmax, cfg.nmax, cfg.move_decay,
+                cfg.dmax, cfg.mmax, cfg.nmax, cfg.move_decay, cfg.x_decay,
             )
             events, st, logp, i_ose = occult_step(
                 kc, events, st, logp, occ_eval, 0,
-                cfg.t_range, cfg.occult_nmax,
+                cfg.t_range, cfg.occult_nmax, cfg.x_decay,
             )
             events, st, logp, i_oei = occult_step(
                 kd, events, st, logp, occ_eval, 1,
-                cfg.t_range, cfg.occult_nmax,
+                cfg.t_range, cfg.occult_nmax, cfg.x_decay,
             )
             return (events, st, logp), (i_mse, i_mei, i_ose, i_oei)
 

@@ -142,8 +142,10 @@ def _enumerate_compositions(total, length):
 import pytest
 
 
-@pytest.mark.parametrize("move_decay", [0.9, 1.0])
-def test_event_move_kernel_exact_stationarity(move_decay):
+@pytest.mark.parametrize(
+    "move_decay,x_decay", [(0.9, 1.0), (1.0, 1.0), (0.9, 0.7)]
+)
+def test_event_move_kernel_exact_stationarity(move_decay, x_decay):
     """Move kernel preserves an enumerable target distribution exactly —
     under both the geometric and the uniform displacement proposals.
 
@@ -184,7 +186,7 @@ def test_event_move_kernel_exact_stationarity(move_decay):
         events, st, logp = carry
         events, st, logp, info = event_move_step(
             key, events, st, logp, ev, 0, dmax=3, mmax=1, nmax=2,
-            move_decay=move_decay,
+            move_decay=move_decay, x_decay=x_decay,
         )
         return (events, st, logp), events[0, :, 0]
 
@@ -202,7 +204,8 @@ def test_event_move_kernel_exact_stationarity(move_decay):
     assert tv < 0.03, (tv, freq, target)
 
 
-def test_occult_kernel_exact_stationarity():
+@pytest.mark.parametrize("x_decay", [1.0, 0.7])
+def test_occult_kernel_exact_stationarity(x_decay):
     """Occult add/delete kernel preserves an enumerable target exactly.
 
     M=1, T=4, t_range=(2,4): the kernel touches cells (0,2,0) and (0,3,0).
@@ -240,7 +243,8 @@ def test_occult_kernel_exact_stationarity():
     def body(carry, key):
         events, st, logp = carry
         events, st, logp, info = occult_step(
-            key, events, st, logp, ev, 0, t_range=(2, 4), nmax=3
+            key, events, st, logp, ev, 0, t_range=(2, 4), nmax=3,
+            x_decay=x_decay,
         )
         return (events, st, logp), (events[0, 2, 0], events[0, 3, 0])
 
