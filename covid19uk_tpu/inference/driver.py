@@ -14,7 +14,6 @@ Differences from the reference (all capability supersets):
 
 import sys
 import time
-from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
@@ -109,14 +108,6 @@ def trace_to_results(traces, squeeze_chain):
         "occult/S->E": _move_results(traces.occult_se, per_location=False),
         "occult/E->I": _move_results(traces.occult_ei, per_location=False),
     }
-
-
-class _Batched(NamedTuple):
-    """Per-chain adaptation state bundle."""
-
-    da: object
-    wf: object
-    inv_mass: jnp.ndarray
 
 
 def run_mcmc(
