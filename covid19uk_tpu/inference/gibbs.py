@@ -96,7 +96,15 @@ def make_mcmc_step(
     T = model.num_steps
     M = model.data.num_locations
     move_window = min(cfg.dmax + 1, T)
-    occult_window = min(cfg.t_range[1] - cfg.t_range[0], T)
+    if not (0 <= cfg.t_range[0] < cfg.t_range[1] <= T):
+        raise ValueError(
+            f"t_range={cfg.t_range} must satisfy 0 <= lo < hi <= T={T}"
+        )
+    # An occult at time t perturbs the state at ALL t' > t, so the delta
+    # window must span [t_range[0], T) — the proposal range alone is only
+    # sufficient when t_range ends at T (the reference's (T-21, T) contract,
+    # inference.py:334-341; EventKernelConfig accepts any range).
+    occult_window = T - cfg.t_range[0]
     closed_model = model
 
     from covid19uk_tpu.ops.binomial import binomial_log_pmf_from_rate

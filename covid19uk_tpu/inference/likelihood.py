@@ -226,8 +226,11 @@ class WindowedEvaluator(NamedTuple):
     def occult_delta(self, events, state, loc, t, x_signed, k):
         """Delta log-lik for adding/deleting ``|x_signed|`` occult events of
         transition k at (loc, t) — evaluated from the pre-update tensors.
-        State changes for all t' > t; with t >= T - window the affected
-        range fits the static window, so the slice start is T - window."""
+
+        State changes for all t' > t, so the slice [T - window, T) is exact
+        iff t >= T - window.  Contract: construct this evaluator with
+        ``window = T - t_range[0]`` (the driver/gibbs layer does) so every
+        in-range occult's affected cells fit the static window."""
         T = events.shape[-2]
         s = jnp.asarray(T - self.window)
         return self._delta(

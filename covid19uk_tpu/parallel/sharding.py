@@ -7,8 +7,9 @@ independently; zero collectives in the transition itself).  Optional
 collectives over ICI from the sharding annotations alone (the
 scaling-book recipe: pick mesh, annotate, let XLA do the rest).
 
-Pooled adaptation (cross-chain Welford pmean) is exposed for warmup —
-the functional upgrade of the reference's single-chain RunningVariance
+Pooled adaptation (within+between cross-chain variance pooling) lives in
+the driver (``inference/driver.py``) at window granularity — the
+functional upgrade of the reference's single-chain RunningVariance
 (``inference.py:36-47``).
 """
 
@@ -67,13 +68,3 @@ def make_sharded_step(step_fn, mesh, shard_space=False, donate=True):
         out_shardings=(st_sh, None),
         donate_argnums=(1,) if donate else (),
     )
-
-
-def pooled_welford_update(wf_state, u, axis_name="chain"):
-    """Cross-chain pooled variance update for use inside ``shard_map``:
-    each chain contributes its draw; moments are pmean-pooled so every
-    chain adapts the same mass matrix."""
-    mean_u = jax.lax.pmean(u, axis_name)
-    from covid19uk_tpu.inference import welford
-
-    return welford.update(wf_state, mean_u)

@@ -77,17 +77,19 @@ def predicted_incidence(
 
     keys = jax.random.split(jax.random.PRNGKey(seed), num_samples)
 
-    def sim_one(key, init_, p: Parameters):
-        if out_of_sample:
-            key, sub = jax.random.split(key)
-            model_tmp = CovidUK(data, init_, init_step, num_steps)
-            p = p._replace(
-                alpha_t=model_tmp.sample_prior_alpha_t(sub, dtype)
-            )
-        model = CovidUK(data, init_, init_step, num_steps)
-        return model.sample_seir(key, p)
+    # data enters the jit as an argument (pytree), never a closed-over
+    # device constant (remote-tunnel trace-time fetch; HLO bloat).
+    def sim_all(data_, keys_, inits_, params_):
+        def sim_one(key, init_, p: Parameters):
+            model = CovidUK(data_, init_, init_step, num_steps)
+            if out_of_sample:
+                key, sub = jax.random.split(key)
+                p = p._replace(alpha_t=model.sample_prior_alpha_t(sub, dtype))
+            return model.sample_seir(key, p)
 
-    events = jax.jit(jax.vmap(sim_one))(keys, new_init_state, params)
+        return jax.vmap(sim_one, in_axes=(0, 0, 0))(keys_, inits_, params_)
+
+    events = jax.jit(sim_all)(data, keys, new_init_state, params)
     return new_init_state, events
 
 

@@ -34,17 +34,24 @@ def calc_posterior_rit(samples, initial_state, times, data: ModelData,
     params = _params_from_samples(samples, dtype=dtype)
     times = jnp.asarray(times)
 
-    def r_one(p, ev):
-        state = seir.compute_state(initial_state, ev)  # [M, T, 4]
-        ngm_fn = next_generation_matrix_fn(data, p)
+    # data/initial_state/times enter as jit ARGUMENTS, not closed-over
+    # device constants: embedding a device array as a compiled constant
+    # forces a device->host fetch at trace time (pathological over the
+    # remote-TPU tunnel, and bloats the HLO constant pool).
+    def r_all(data_, init_, times_, params_, events_):
+        def r_one(p, ev):
+            state = seir.compute_state(init_, ev)  # [M, T, 4]
+            ngm_fn = next_generation_matrix_fn(data_, p)
 
-        def at_t(t):
-            ngm = ngm_fn(t, state[:, t, :])
-            return jnp.sum(ngm, axis=-2)  # sum over destinations
+            def at_t(t):
+                ngm = ngm_fn(t, state[:, t, :])
+                return jnp.sum(ngm, axis=-2)  # sum over destinations
 
-        return jax.vmap(at_t)(times)  # [T, M]
+            return jax.vmap(at_t)(times_)  # [T, M]
 
-    return jax.jit(jax.vmap(r_one))(params, events)
+        return jax.vmap(r_one)(params_, events_)
+
+    return jax.jit(r_all)(data, initial_state, times, params, events)
 
 
 def reproduction_number(input_files, output_file):

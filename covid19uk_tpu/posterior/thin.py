@@ -1,8 +1,10 @@
 """Thin posterior HDF5 -> pickle.
 
-Replaces ``/root/reference/covid19uk/posterior/thin.py``.  When the posterior
-was sampled with multiple chains, the chain axis is flattened into the
-iteration axis after thinning, so downstream consumers are chain-agnostic.
+Replaces ``/root/reference/covid19uk/posterior/thin.py`` (same contract:
+slice every ``samples/*`` dataset by start:end:by, carry ``initial_state``,
+pickle the dict).  Framework extension: when the posterior was sampled with
+multiple chains, the chain axis is flattened into the iteration axis after
+thinning, so downstream consumers stay chain-agnostic.
 """
 
 import pickle as pkl
@@ -15,14 +17,12 @@ def thin_posterior(input_file, output_file, config):
     (reference thin.py:7-21)."""
     idx = slice(config["start"], config["end"], config["by"])
 
-    f = h5py.File(input_file, "r", rdcc_nbytes=1024**3, rdcc_nslots=1e6)
-    output_dict = {k: v[idx] for k, v in f["samples"].items()}
-    initial_state = f["initial_state"][:]
-    f.close()
+    with h5py.File(input_file, "r") as f:
+        output_dict = {k: v[idx] for k, v in f["samples"].items()}
+        initial_state = f["initial_state"][:]
 
     # Multi-chain runs store [draw, chain, ...]: fold chains into draws.
-    seir_ndim = output_dict["seir"].ndim
-    if seir_ndim == 5:  # [draw, chain, M, T, X]
+    if output_dict["seir"].ndim == 5:  # [draw, chain, M, T, X]
         output_dict = {
             k: v.reshape((-1,) + v.shape[2:]) for k, v in output_dict.items()
         }
@@ -34,23 +34,23 @@ def thin_posterior(input_file, output_file, config):
     return output_dict
 
 
-if __name__ == "__main__":
+def main(argv=None):
     import argparse
 
     import yaml
 
-    parser = argparse.ArgumentParser()
-    parser.add_argument(
-        "-c", "--config", type=str, help="Configuration file", required=True
+    parser = argparse.ArgumentParser(
+        description="Thin a posterior HDF5 file into a samples pickle"
     )
-    parser.add_argument(
-        "-o", "--output", type=str, help="Output pkl file", required=True
-    )
-    parser.add_argument("samples", type=str, help="Posterior HDF5 file")
-    args = parser.parse_args()
+    parser.add_argument("samples", help="posterior HDF5 file")
+    parser.add_argument("-c", "--config", required=True, help="YAML config")
+    parser.add_argument("-o", "--output", required=True, help="output .pkl")
+    args = parser.parse_args(argv)
 
-    with open(args.config, "r") as f:
-        config = yaml.safe_load(f)
+    with open(args.config) as f:
+        section = yaml.safe_load(f)["ThinPosterior"]
+    thin_posterior(args.samples, args.output, section)
 
-    print("Config: ", config["ThinPosterior"])
-    thin_posterior(args.samples, args.output, config["ThinPosterior"])
+
+if __name__ == "__main__":
+    main()

@@ -41,17 +41,24 @@ def make_within_rate_fns(data: ModelData, psi):
 
 def calc_pressure_components(data: ModelData, psi, state):
     """Per-sample within/between fractions at one state snapshot
-    (reference within_between.py:47-56)."""
+    (reference within_between.py:47-56).
+
+    ``data`` enters the jit as an argument (ModelData is a pytree) — never
+    close device arrays into jit constants (remote-tunnel trace-time fetch).
+    """
     t_final = data.W.shape[0]
 
-    def atomic(psi_, state_):
-        within_fn, between_fn = make_within_rate_fns(data, psi_)
-        within = within_fn(t_final, state_)
-        between = between_fn(t_final, state_)
-        total = within + between
-        return within / total, between / total
+    def all_samples(data_, psi_all, state_all):
+        def atomic(psi_, state_):
+            within_fn, between_fn = make_within_rate_fns(data_, psi_)
+            within = within_fn(t_final, state_)
+            between = between_fn(t_final, state_)
+            total = within + between
+            return within / total, between / total
 
-    return jax.jit(jax.vmap(atomic))(psi, state)
+        return jax.vmap(atomic)(psi_all, state_all)
+
+    return jax.jit(all_samples)(data, psi, state)
 
 
 def within_between(input_files, output_file):
@@ -76,7 +83,11 @@ def within_between(input_files, output_file):
         dict(
             within_mean=within.mean(axis=0),
             between_mean=between.mean(axis=0),
-            p_within_gt_between=np.mean(within > between),
+            # Divergence from the reference (within_between.py:87): it takes
+            # an axis-less mean, broadcasting one global scalar to every
+            # location's row.  The per-location posterior probability is the
+            # intended quantity — fixed here, documented in PARITY.md.
+            p_within_gt_between=np.mean(within > between, axis=0),
         ),
         index=pd.Index(np.asarray(locations).astype(str), name="location"),
     )

@@ -373,3 +373,71 @@ def test_windowed_evaluator_matches_full(rng):
     )
     # some of each kernel type must have accepted for this to be a real test
     assert np.asarray(acc_f).mean(0).min() > 0.01
+
+
+def test_occult_windowed_matches_full_interior_t_range(rng):
+    """Occult t_range that does NOT end at T: an occult at t perturbs all
+    later state, so the windowed evaluator must still agree with full
+    re-evaluation (regression: the window used to cover only the proposal
+    range, silently assuming t_range[1] == T)."""
+    from covid19uk_tpu.models.spec import CovidUK
+    from covid19uk_tpu.models import seir
+    from tests.test_spec import make_test_data, make_test_params
+
+    M, T = 5, 18
+    data = make_test_data(rng, M, T)
+    params = make_test_params(rng, M, T)
+    N = np.asarray(data.N)
+    init = np.stack(
+        [N - 60, np.full(M, 25.0), np.full(M, 35.0), np.zeros(M)], -1
+    )
+    model = CovidUK(data, jnp.asarray(init, jnp.float64), 0, T)
+    events = model.sample_seir(jax.random.PRNGKey(11), params)
+    st0 = seir.compute_state(model.initial_state, events)
+
+    logp_fn = lambda ev: model.log_prob(params, ev)
+    logp = logp_fn(events)
+    fe = FullEvaluator(logp_fn=logp_fn)
+    ctx = make_context(model, params)
+    t_range = (T - 10, T - 4)  # interior range: tail cells change too
+    we_occ = WindowedEvaluator(ctx=ctx, window=T - t_range[0])
+
+    def chain(evaluator):
+        def body(carry, key):
+            ev, st, lp = carry
+            k1, k2 = jax.random.split(key)
+            ev, st, lp, i1 = occult_step(
+                k1, ev, st, lp, evaluator, 0, t_range, 5
+            )
+            ev, st, lp, i2 = occult_step(
+                k2, ev, st, lp, evaluator, 1, t_range, 5
+            )
+            return (ev, st, lp), jnp.stack([i1.is_accepted, i2.is_accepted])
+
+        keys = jax.random.split(jax.random.PRNGKey(12), 250)
+        return jax.lax.scan(body, (events, st0, logp), keys)
+
+    (ev_f, _, lp_f), acc_f = chain(fe)
+    (ev_w, _, lp_w), acc_w = chain(we_occ)
+
+    np.testing.assert_array_equal(np.asarray(acc_f), np.asarray(acc_w))
+    np.testing.assert_array_equal(np.asarray(ev_f), np.asarray(ev_w))
+    np.testing.assert_allclose(float(lp_f), float(lp_w), rtol=1e-9)
+    assert np.asarray(acc_f).mean() > 0.01
+
+
+def test_make_mcmc_step_rejects_bad_t_range(rng):
+    from covid19uk_tpu.inference.gibbs import EventKernelConfig, make_mcmc_step
+    from covid19uk_tpu.models.spec import CovidUK
+    from tests.test_spec import make_test_data
+
+    M, T = 4, 12
+    data = make_test_data(rng, M, T)
+    N = np.asarray(data.N)
+    init = np.stack(
+        [N - 10, np.full(M, 5.0), np.full(M, 5.0), np.zeros(M)], -1
+    )
+    model = CovidUK(data, jnp.asarray(init, jnp.float64), 0, T)
+    for bad in [(-1, T), (0, T + 1), (5, 5), (8, 4)]:
+        with pytest.raises(ValueError, match="t_range"):
+            make_mcmc_step(model, 4, EventKernelConfig(t_range=bad))

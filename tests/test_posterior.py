@@ -148,3 +148,33 @@ def test_full_pipeline(tmp_path, rng):
     df = within_between([data_path, pkl_path], csv_path)
     assert len(df) == 4
     assert np.isfinite(df["within_mean"]).all()
+
+
+def test_within_between_p_is_per_location(rng):
+    """p_within_gt_between must be a per-location posterior probability
+    (the reference broadcasts one axis-less scalar — documented divergence)."""
+    from covid19uk_tpu.posterior.within_between import calc_pressure_components
+    from tests.test_spec import make_test_data
+
+    M, T = 6, 10
+    data = make_test_data(rng, M, T)
+    S = 40
+    psi = jnp.asarray(rng.uniform(0.1, 1.0, S))
+    state = jnp.asarray(
+        np.stack(
+            [
+                rng.uniform(100, 200, (S, M)),
+                rng.uniform(5, 20, (S, M)),
+                rng.uniform(5, 50, (S, M)),
+                rng.uniform(0, 10, (S, M)),
+            ],
+            axis=-1,
+        )
+    )
+    within, between = calc_pressure_components(data, psi, state)
+    p = np.mean(np.asarray(within) > np.asarray(between), axis=0)
+    assert p.shape == (M,)
+    # fractions sum to one per (sample, location)
+    np.testing.assert_allclose(
+        np.asarray(within) + np.asarray(between), 1.0, rtol=1e-6
+    )
