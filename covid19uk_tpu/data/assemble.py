@@ -130,10 +130,20 @@ def gather_data(config):
                 [name_by_code.get(c, "n/a") for c in mob_codes], dtype="S"
             ),
         ),
+        dims=dict(
+            C=("location", "location_dest"),
+            W=("time",),
+            N=("location",),
+            adjacency=("location", "location_dest"),
+            weekday=("time",),
+            area=("location",),
+            locations=("location",),
+        ),
         coords=dict(location=np.asarray(mob_codes, dtype="S"), time=dates),
     )
     observations = ncio.Group(
         variables=dict(cases=cases),
+        dims=dict(cases=("location", "time")),
         coords=dict(location=np.asarray(mob_codes, dtype="S"), time=dates),
     )
     return constant, observations

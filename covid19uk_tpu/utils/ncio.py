@@ -1,14 +1,22 @@
-"""Minimal netCDF-style grouped-array IO on HDF5.
+"""netCDF4-profile grouped-array IO on HDF5.
 
 The reference pipeline communicates through netCDF files with groups
 ``constant_data`` / ``observations`` / ``predictions`` /
 ``posterior_predictive`` (``/root/reference/covid19uk/data/assemble.py:15-16``
-and ``posterior/*``).  netCDF4 is an HDF5 profile, and this environment has
-h5py but not netCDF4/xarray, so we implement the thin slice we need directly:
-named variables + named coordinate arrays + attrs per group.  Files written
-here are plain HDF5 readable anywhere; files written by the reference
-(netCDF4) are readable by :func:`load_group` because variables are plain
-HDF5 datasets.
+and ``posterior/*``).  netCDF4 *is* an HDF5 profile — dimension-scale
+datasets (``CLASS=DIMENSION_SCALE``) that variables attach via
+``DIMENSION_LIST`` — and this environment has h5py but not netCDF4/xarray,
+so :func:`save_group` emits that profile directly:
+
+* every declared dimension becomes a dimension-scale dataset in the group
+  (holding coordinate values when provided, else a placeholder marked with
+  netCDF's "not a netCDF variable" NAME convention);
+* every variable attaches its scales axis by axis, exactly as netCDF4-c
+  lays them out, so xarray/netCDF4 on the reference side can
+  ``open_dataset(path, group=...)`` files written here;
+* :func:`load_group` reads both directions: files written by this module,
+  by netCDF4/xarray (the reference's outputs), and round-1 legacy files
+  (``_coord_`` prefix convention).
 """
 
 from dataclasses import dataclass, field
@@ -17,7 +25,9 @@ from typing import Dict, Tuple
 import h5py
 import numpy as np
 
-_COORD_PREFIX = "_coord_"
+_LEGACY_COORD_PREFIX = "_coord_"
+# netCDF4-c's marker for a dimension without a coordinate variable.
+_PHONY_DIM_NAME = "This is a netCDF dimension but not a netCDF variable."
 
 
 @dataclass
@@ -57,42 +67,106 @@ def _decode(arr):
 
 
 def save_group(path, group_name, group: Group, mode="a"):
-    """Writes a Group to ``path`` under HDF5 group ``group_name``."""
+    """Writes a Group to ``path`` under HDF5 group ``group_name`` in the
+    netCDF4 profile (dimension scales + DIMENSION_LIST attachments)."""
+    # Resolve each named dimension's size from variables' declared dims,
+    # falling back to coord lengths.
+    dim_sizes = {}
+    for name, arr in group.variables.items():
+        arr = np.asarray(arr)
+        for axis, dim in enumerate(group.dims.get(name, ())):
+            dim_sizes.setdefault(dim, arr.shape[axis])
+    for dim, coord in group.coords.items():
+        dim_sizes.setdefault(dim, len(np.asarray(coord)))
+
     with h5py.File(path, mode) as f:
         if group_name in f:
             del f[group_name]
         g = f.create_group(group_name)
         for k, v in group.attrs.items():
             g.attrs[k] = v
+
+        scales = {}
+        for dim, size in dim_sizes.items():
+            if dim in group.coords:
+                d = g.create_dataset(dim, data=_encode(group.coords[dim]))
+                d.make_scale(dim)
+            elif dim in group.variables:  # coordinate variable
+                d = g.create_dataset(
+                    dim, data=_encode(group.variables[dim])
+                )
+                d.make_scale(dim)
+            else:
+                d = g.create_dataset(dim, shape=(size,), dtype="f4")
+                d.make_scale(f"{_PHONY_DIM_NAME} {size}")
+            scales[dim] = d
+
         for name, arr in group.variables.items():
+            if name in scales:  # a coordinate variable doubles as its scale
+                continue
             d = g.create_dataset(name, data=_encode(arr))
-            if name in group.dims:
-                d.attrs["dims"] = ",".join(group.dims[name])
-        for name, arr in group.coords.items():
-            g.create_dataset(_COORD_PREFIX + name, data=_encode(arr))
+            for axis, dim in enumerate(group.dims.get(name, ())):
+                d.dims[axis].attach_scale(scales[dim])
+
+        # Coords that are not a dimension of any variable (auxiliary
+        # coordinates) were still written as scales above; nothing more.
+
+
+def _is_dimension_scale(item):
+    cls = item.attrs.get("CLASS")
+    if isinstance(cls, bytes):
+        cls = cls.decode()
+    return cls == "DIMENSION_SCALE"
+
+
+def _scale_is_phony(item):
+    name = item.attrs.get("NAME", b"")
+    if isinstance(name, bytes):
+        name = name.decode(errors="replace")
+    return str(name).startswith(_PHONY_DIM_NAME)
 
 
 def load_group(path, group_name) -> Group:
-    """Reads a Group.  Tolerates plain netCDF4-written files: any dataset
-    not using our coord prefix is treated as a variable; scalar/1-D
-    variables that share a name with a netCDF dimension become coords."""
+    """Reads a Group from netCDF4-profile files (written here or by
+    netCDF4/xarray) and from round-1 legacy files (``_coord_`` prefix)."""
     out = Group()
     with h5py.File(path, "r") as f:
         g = f[group_name]
-        out.attrs = dict(g.attrs)
+        out.attrs = {
+            k: v for k, v in g.attrs.items() if not k.startswith("_NC")
+        }
+        scale_names = {}  # h5 object id -> dim name
+        for name, item in g.items():
+            if isinstance(item, h5py.Dataset) and _is_dimension_scale(item):
+                scale_names[item.id] = name
+
         for name, item in g.items():
             if not isinstance(item, h5py.Dataset):
                 continue
-            data = _decode(item[()])
-            if name.startswith(_COORD_PREFIX):
-                out.coords[name[len(_COORD_PREFIX) :]] = data
-            else:
-                out.variables[name] = data
-                if "dims" in item.attrs:
-                    dims_attr = item.attrs["dims"]
-                    if isinstance(dims_attr, bytes):
-                        dims_attr = dims_attr.decode()
-                    out.dims[name] = tuple(dims_attr.split(","))
+            if name.startswith(_LEGACY_COORD_PREFIX):  # round-1 files
+                out.coords[name[len(_LEGACY_COORD_PREFIX):]] = _decode(
+                    item[()]
+                )
+                continue
+            if item.id in scale_names:
+                if not _scale_is_phony(item):
+                    out.coords[name] = _decode(item[()])
+                continue
+            out.variables[name] = _decode(item[()])
+            if "DIMENSION_LIST" in item.attrs:
+                dims = []
+                for axis in range(len(item.dims)):
+                    entries = [
+                        scale_names.get(s.id, f"dim_{axis}")
+                        for _, s in item.dims[axis].items()
+                    ]
+                    dims.append(entries[0] if entries else f"dim_{axis}")
+                out.dims[name] = tuple(dims)
+            elif "dims" in item.attrs:  # round-1 legacy attr
+                dims_attr = item.attrs["dims"]
+                if isinstance(dims_attr, bytes):
+                    dims_attr = dims_attr.decode()
+                out.dims[name] = tuple(dims_attr.split(","))
     return out
 
 

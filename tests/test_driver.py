@@ -121,3 +121,84 @@ def test_mcmc_end_to_end(tmp_path, rng):
         assert "time" in f
         # chain must have accepted some moves
         assert f["results/hmc/is_accepted"][:].mean() > 0.05
+
+
+def test_ncio_writes_netcdf4_profile(tmp_path, rng):
+    """Files written by save_group must carry the netCDF4 HDF5 profile:
+    dimension-scale datasets + DIMENSION_LIST attachments — what xarray/
+    netCDF4 on the reference side needs to open them (VERDICT round 1 #5)."""
+    import h5py
+
+    path = str(tmp_path / "pred.nc")
+    ev = rng.poisson(3.0, size=(7, 4, 10, 3)).astype(float)
+    dates = np.arange(np.datetime64("2021-02-01"), np.datetime64("2021-02-11"))
+    g = ncio.Group(
+        variables=dict(events=ev),
+        dims=dict(events=("iteration", "location", "time", "event")),
+        coords=dict(
+            time=dates, location=np.array([f"L{i}" for i in range(4)])
+        ),
+    )
+    ncio.save_group(path, "predictions", g, mode="w")
+
+    with h5py.File(path, "r") as f:
+        grp = f["predictions"]
+        # every dim is a dimension-scale dataset
+        for dim, size in [("iteration", 7), ("location", 4), ("time", 10),
+                          ("event", 3)]:
+            assert dim in grp, dim
+            assert grp[dim].attrs["CLASS"] == b"DIMENSION_SCALE"
+            assert grp[dim].shape == (size,)
+        # coords hold real values; phony dims carry netCDF's marker NAME
+        assert grp["time"][()].astype(str)[0] == "2021-02-01"
+        name = grp["iteration"].attrs["NAME"]
+        assert name.startswith(b"This is a netCDF dimension")
+        # the variable attaches all four scales in order
+        d = grp["events"]
+        assert "DIMENSION_LIST" in d.attrs
+        got = [list(d.dims[i].items())[0][1].name.split("/")[-1]
+               for i in range(4)]
+        assert got == ["iteration", "location", "time", "event"]
+
+    back = ncio.load_group(path, "predictions")
+    np.testing.assert_allclose(back["events"], ev)
+    assert back.dims["events"] == ("iteration", "location", "time", "event")
+    assert back.coords["time"].dtype.kind == "M"
+    assert "iteration" not in back.coords  # phony dim is not a coord
+
+
+def test_ncio_reads_reference_style_netcdf4(tmp_path):
+    """load_group must open files laid out exactly as netCDF4-c/xarray
+    writes them (reference assemble.py:15-16): scales with REFERENCE_LIST/
+    _Netcdf4Dimid bookkeeping, _NCProperties on the root."""
+    import h5py
+
+    path = str(tmp_path / "ref.nc")
+    cases = np.arange(12.0).reshape(3, 4)
+    locs = np.array([b"N1", b"N2", b"N3"])
+    with h5py.File(path, "w") as f:
+        f.attrs["_NCProperties"] = np.bytes_(
+            "version=2,netcdf=4.8.1,hdf5=1.12.1"
+        )
+        g = f.create_group("observations")
+        g.attrs["origin"] = "reference"
+        loc = g.create_dataset("location", data=locs)
+        loc.attrs["CLASS"] = np.bytes_("DIMENSION_SCALE")
+        loc.attrs["NAME"] = np.bytes_("location")
+        loc.attrs["_Netcdf4Dimid"] = np.int32(0)
+        tim = g.create_dataset("time", shape=(4,), dtype="f4")
+        tim.attrs["CLASS"] = np.bytes_("DIMENSION_SCALE")
+        tim.attrs["NAME"] = np.bytes_(
+            "This is a netCDF dimension but not a netCDF variable.     4"
+        )
+        tim.attrs["_Netcdf4Dimid"] = np.int32(1)
+        d = g.create_dataset("cases", data=cases)
+        d.dims[0].attach_scale(loc)
+        d.dims[1].attach_scale(tim)
+
+    out = ncio.load_group(path, "observations")
+    np.testing.assert_allclose(out["cases"], cases)
+    assert out.dims["cases"] == ("location", "time")
+    assert list(out.coords["location"]) == ["N1", "N2", "N3"]
+    assert "time" not in out.coords  # phony dimension
+    assert out.attrs["origin"] == "reference"
