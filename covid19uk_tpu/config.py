@@ -36,8 +36,13 @@ class McmcConfig:
     thin: int = 1
     num_adaptation_iterations: int = 1000  # accepted for parity; unused
     num_chains: int = 1
-    pooled_adaptation: bool = False  # pool step-size/mass across chains
+    pooled_adaptation: bool = True  # pool step-size/mass across chains
     use_mesh: bool = False  # shard chains over all visible devices
+    # Convergence gating (SURVEY.md §5 "gated burst loop"): checked between
+    # bursts on the scalar parameters; sampling stops early when every
+    # enabled criterion is met.  None disables a criterion.
+    rhat_stop: Optional[float] = None  # stop when max split R-hat < this
+    ess_stop: Optional[int] = None  # stop when min bulk ESS >= this
     dtype: str = "float32"
     seed: int = 1
     checkpoint: Optional[str] = None
@@ -59,6 +64,16 @@ class McmcConfig:
             v = getattr(self, name)
             if not (0.0 < v <= 1.0):
                 raise ValueError(f"Mcmc.{name} must be in (0, 1], got {v!r}")
+        if self.rhat_stop is not None and not self.rhat_stop > 1.0:
+            raise ValueError(
+                f"Mcmc.rhat_stop must be > 1.0, got {self.rhat_stop!r}"
+            )
+        if self.ess_stop is not None and (
+            not isinstance(self.ess_stop, int) or self.ess_stop < 1
+        ):
+            raise ValueError(
+                f"Mcmc.ess_stop must be a positive int, got {self.ess_stop!r}"
+            )
         if self.dtype not in ("float32", "float64"):
             raise ValueError(
                 f"Mcmc.dtype must be float32 or float64, got {self.dtype!r}"

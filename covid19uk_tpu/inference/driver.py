@@ -68,6 +68,38 @@ def draws_to_dict(u_constrained, events, num_steps, num_locations):
     }
 
 
+def pool_adaptation(step_size, wf):
+    """Cross-chain pooled adaptation at window granularity: all chains share
+    the geometric-mean step size and the moment-pooled mass matrix — the
+    multi-chain upgrade of the reference's single-chain RunningVariance
+    (inference.py:36-47).
+
+    The pooled variance is the population variance of the concatenated
+    chains' draws (law of total variance): mean within-chain variance plus
+    the between-chain variance of the means.  Exact when every chain's
+    accumulator holds the same count (the driver's windows guarantee this).
+
+    Args:
+      step_size: ``[C]`` per-chain step sizes.
+      wf: chain-batched :class:`welford.RunningVariance` (leading axis C).
+
+    Returns:
+      (step_size, wf) with identical pooled values broadcast to every chain.
+    """
+    C = step_size.shape[0]
+    step_size = jnp.broadcast_to(
+        jnp.exp(jnp.mean(jnp.log(step_size))), step_size.shape
+    )
+    count = jnp.mean(wf.count) * C
+    mean = jnp.mean(wf.mean, axis=0)
+    var = jnp.mean(jax.vmap(welford.variance)(wf), axis=0) + jnp.var(
+        wf.mean, axis=0
+    )
+    pooled = welford.from_stats(count, mean, var)
+    wf = jax.tree.map(lambda x: jnp.broadcast_to(x, (C,) + x.shape), pooled)
+    return step_size, wf
+
+
 def _move_results(info, per_location):
     """Mirrors the reference's per-kernel results (inference.py:262-274).
 
@@ -269,26 +301,9 @@ def run_mcmc(
         offset = write_at(draws, traces, offset)
 
     def pool(step_size, wf):
-        """Cross-chain pooled adaptation at window granularity: all chains
-        share the geometric-mean step size and moment-pooled mass matrix —
-        the multi-chain upgrade of the reference's single-chain
-        RunningVariance (inference.py:36-47)."""
         if not config.pooled_adaptation or C == 1:
             return step_size, wf
-        step_size = jnp.broadcast_to(
-            jnp.exp(jnp.mean(jnp.log(step_size))), step_size.shape
-        )
-        count = jnp.mean(wf.count) * C
-        mean = jnp.mean(wf.mean, axis=0)
-        # total variance = mean within-chain variance + between-chain var
-        var = jnp.mean(
-            jax.vmap(welford.variance)(wf), axis=0
-        ) + jnp.var(wf.mean, axis=0)
-        pooled = welford.from_stats(count, mean, var)
-        wf = jax.tree.map(
-            lambda x: jnp.broadcast_to(x, (C,) + x.shape), pooled
-        )
-        return step_size, wf
+        return pool_adaptation(step_size, wf)
 
     def log_window(name, n, traces, timer):
         acc = float(np.asarray(traces.hmc.is_accepted).mean())
@@ -395,6 +410,14 @@ def run_mcmc(
             ckpt.save(checkpoint_path, **pending_ckpt)
             pending_ckpt = None
 
+    # Between-burst convergence gate (SURVEY.md §5 "gated burst loop"):
+    # scalar-parameter draws accumulate host-side (they're already coming
+    # back for the HDF5 write); sampling stops once every enabled criterion
+    # holds.  On resume the gate sees only post-resume draws.
+    gating = config.rhat_stop is not None or config.ess_stop is not None
+    gate_hist = []
+    stopped_early = False
+
     sampling_t0 = time.time()
     for b in range(start_burst, config.num_bursts):
         if config.profile_dir and b == max(start_burst, 1):
@@ -431,8 +454,35 @@ def run_mcmc(
             extra={"burst": b + 1},
         )
         _log(f"burst {b + 1}/{config.num_bursts}")
+        if gating:
+            from covid19uk_tpu.parallel.diagnostics import gate_statistics
+
+            u_scal = np.array(np.asarray(draws.u)[..., :6])  # [C, n, 6]
+            u_scal[..., :2] = np.logaddexp(0.0, u_scal[..., :2])  # softplus
+            gate_hist.append(u_scal)
+            acc = np.concatenate(gate_hist, axis=1)
+            max_rhat, min_ess = gate_statistics(acc)
+            ok_rhat = (
+                config.rhat_stop is None or max_rhat < config.rhat_stop
+            )
+            ok_ess = config.ess_stop is None or min_ess >= config.ess_stop
+            log.event(
+                "gate", burst=b, max_rhat=round(max_rhat, 4),
+                min_ess=round(min_ess, 1),
+                converged=bool(ok_rhat and ok_ess),
+            )
+            if ok_rhat and ok_ess:
+                _log(
+                    f"Convergence gate met at burst {b + 1} "
+                    f"(max R-hat {max_rhat:.4f}, min ESS {min_ess:.0f}); "
+                    "stopping early"
+                )
+                stopped_early = True
+                break
     flush_pending()
     executor.shutdown()
+    if stopped_early:
+        posterior.truncate(offset)
     sampling_wall = time.time() - sampling_t0
 
     # ---- cross-chain convergence diagnostics ------------------------------

@@ -7,6 +7,7 @@ ESS/sec benchmark.
 """
 
 import jax.numpy as jnp
+import numpy as np
 
 
 def potential_scale_reduction(draws):
@@ -73,3 +74,50 @@ def effective_sample_size(draws):
     tau = 1.0 + 2.0 * jnp.sum(pair * keep, axis=0)
     tau = jnp.maximum(tau, 1.0 / jnp.log10(jnp.asarray(N, rho.dtype)))
     return C * N / tau
+
+
+def gate_statistics(draws):
+    """Host-side (pure numpy) split R-hat + bulk ESS for the between-burst
+    convergence gate.  Numerically mirrors the jnp functions above (tested
+    against them) — numpy because per-burst eager dispatch over a remote
+    TPU tunnel is pathologically slow and the gate arrays are tiny.
+
+    Args:
+      draws: ``[chains, draws, params]`` numpy array.
+
+    Returns:
+      ``(max_rhat, min_ess)`` floats over the parameter axis.
+    """
+    draws = np.asarray(draws, np.float64)
+    C, N = draws.shape[0], draws.shape[1]
+
+    # ---- split R-hat ----
+    half = N // 2
+    split = np.concatenate(
+        [draws[:, :half], draws[:, half : 2 * half]], axis=0
+    )
+    m, n = split.shape[0], split.shape[1]
+    chain_means = split.mean(axis=1)
+    B = n * chain_means.var(axis=0, ddof=1)
+    W = split.var(axis=1, ddof=1).mean(axis=0)
+    rhat = np.sqrt(((n - 1) / n * W + B / n) / W)
+
+    # ---- bulk ESS (Geyer initial positive sequence) ----
+    x = draws - draws.mean(axis=1, keepdims=True)
+    size = 2 * N
+    f = np.fft.rfft(x, n=size, axis=1)
+    acov = np.fft.irfft(f * np.conj(f), n=size, axis=1)[:, :N].real / N
+    mean_acov = acov.mean(axis=0)
+    Wv = (acov[:, 0] * N / (N - 1.0)).mean(axis=0)
+    B_over_n = draws.mean(axis=1).var(axis=0, ddof=1) if C > 1 else 0.0
+    var_plus = Wv * (N - 1.0) / N + B_over_n
+    rho = 1.0 - (Wv - mean_acov) / var_plus
+    n_pairs = (N - 1) // 2
+    pair = rho[1 : 1 + 2 * n_pairs]
+    pair = pair.reshape((n_pairs, 2) + rho.shape[1:]).sum(axis=1)
+    keep = np.cumprod(pair > 0.0, axis=0)
+    tau = np.maximum(
+        1.0 + 2.0 * (pair * keep).sum(axis=0), 1.0 / np.log10(N)
+    )
+    ess = C * N / tau
+    return float(np.max(rhat)), float(np.min(ess))

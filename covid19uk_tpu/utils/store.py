@@ -52,6 +52,7 @@ class Posterior:
                         shape=shape,
                         dtype=v.dtype,
                         chunks=(min(100, num_samples),) + v.shape[1:],
+                        maxshape=(None,) + v.shape[1:],
                     )
 
         make("samples", sample_dict)
@@ -72,6 +73,22 @@ class Posterior:
 
     def write_results(self, results_dict, first_dim_offset):
         self._write("results", results_dict, first_dim_offset)
+        self._file.flush()
+
+    def truncate(self, num_draws):
+        """Shrinks every samples/results dataset to ``num_draws`` along the
+        draw axis — used when convergence gating stops sampling early."""
+
+        def shrink(item):
+            if isinstance(item, h5py.Group):
+                for child in item.values():
+                    shrink(child)
+            elif item.shape and item.shape[0] > num_draws:
+                item.resize(num_draws, axis=0)
+
+        for root in ("samples", "results"):
+            if root in self._file:
+                shrink(self._file[root])
         self._file.flush()
 
     @classmethod

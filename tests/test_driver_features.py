@@ -126,3 +126,41 @@ def test_regularize_occults_repairs_negative_state(rng):
     state, fixed = regularize_occults(events, occults, init)
     assert state.min() >= 0
     assert fixed[0, 2, 1] < 50.0
+
+
+@pytest.mark.slow
+def test_convergence_gate_stops_early_and_truncates(tmp_path, rng):
+    """With a generous gate the run stops before num_bursts and the
+    posterior datasets are truncated to the written draws; with an
+    unreachable gate it runs every burst (VERDICT round 1 #6)."""
+    import h5py
+    import json
+
+    from covid19uk_tpu.inference.driver import mcmc
+
+    path = str(tmp_path / "data.h5")
+    make_synthetic_datafile(path, rng, M=3, T0=25)
+    warm = 6 + 4 + 4
+
+    out_easy = str(tmp_path / "post_easy.h5")
+    log_easy = str(tmp_path / "log_easy.jsonl")
+    mcmc(path, out_easy, _cfg(num_bursts=6, num_chains=2, rhat_stop=50.0,
+                              log_file=log_easy))
+    with h5py.File(out_easy, "r") as f:
+        n = f["samples/psi"].shape[0]
+        assert n == warm + 5  # stopped after the first burst
+        assert f["results/hmc/is_accepted"].shape[0] == n
+    events = [json.loads(l) for l in open(log_easy)]
+    gates = [e for e in events if e["event"] == "gate"]
+    assert gates and gates[-1]["converged"] is True
+
+    out_hard = str(tmp_path / "post_hard.h5")
+    log_hard = str(tmp_path / "log_hard.jsonl")
+    mcmc(path, out_hard, _cfg(num_bursts=3, num_chains=2,
+                              rhat_stop=1.0000001, ess_stop=10**9,
+                              log_file=log_hard))
+    with h5py.File(out_hard, "r") as f:
+        assert f["samples/psi"].shape[0] == warm + 15  # all bursts ran
+    events = [json.loads(l) for l in open(log_hard)]
+    gates = [e for e in events if e["event"] == "gate"]
+    assert len(gates) == 3 and all(not g["converged"] for g in gates)

@@ -126,3 +126,26 @@ def test_dryrun_multichip_entrypoint():
     import __graft_entry__ as ge
 
     ge.dryrun_multichip(8)
+
+
+def test_gate_statistics_matches_jnp_diagnostics(rng):
+    """The numpy between-burst gate must agree with the jnp diagnostics."""
+    from covid19uk_tpu.parallel.diagnostics import (
+        effective_sample_size,
+        gate_statistics,
+        potential_scale_reduction,
+    )
+
+    C, N, P = 4, 200, 3
+    # AR(1) draws with chain-specific offsets -> nontrivial rhat and ESS
+    eps = rng.normal(size=(C, N, P))
+    x = np.zeros((C, N, P))
+    for t in range(1, N):
+        x[:, t] = 0.7 * x[:, t - 1] + eps[:, t]
+    x += rng.normal(size=(C, 1, P)) * 0.5
+
+    max_rhat, min_ess = gate_statistics(x)
+    rhat_j = np.asarray(potential_scale_reduction(jnp.asarray(x)))
+    ess_j = np.asarray(effective_sample_size(jnp.asarray(x)))
+    np.testing.assert_allclose(max_rhat, rhat_j.max(), rtol=1e-6)
+    np.testing.assert_allclose(min_ess, ess_j.min(), rtol=1e-5)

@@ -35,3 +35,50 @@ def test_pooled_adaptation_shares_step_size(tmp_path, rng):
         assert not np.array_equal(
             f["samples/psi"][:, 0], f["samples/psi"][:, 1]
         )
+
+
+def test_pool_adaptation_matches_concatenated_moments(rng):
+    """The pooled mass matrix must equal the population variance of the
+    concatenated chains' draws (law of total variance), and the pooled
+    step size the geometric mean (VERDICT round 1 weak #6)."""
+    import jax
+    import jax.numpy as jnp
+
+    from covid19uk_tpu.inference import welford
+    from covid19uk_tpu.inference.driver import pool_adaptation
+
+    C, n, P = 4, 50, 7
+    draws = rng.normal(size=(C, n, P)) * rng.uniform(0.5, 3.0, (C, 1, P))
+    draws += rng.normal(size=(C, 1, P)) * 2.0  # distinct chain means
+
+    def accumulate(chain):
+        wf = welford.init((P,), jnp.float64)
+        for x in chain:
+            wf = welford.update(wf, jnp.asarray(x))
+        return wf
+
+    wf = jax.tree.map(
+        lambda *xs: jnp.stack(xs), *[accumulate(d) for d in draws]
+    )
+    step_size = jnp.asarray(rng.uniform(0.01, 0.5, C))
+
+    ss_pooled, wf_pooled = pool_adaptation(step_size, wf)
+
+    expected_ss = np.exp(np.mean(np.log(np.asarray(step_size))))
+    np.testing.assert_allclose(np.asarray(ss_pooled), expected_ss, rtol=1e-12)
+
+    concat = draws.reshape(-1, P)
+    expected_var = concat.var(axis=0)  # population variance
+    got_var = np.asarray(welford.variance(jax.tree.map(lambda x: x[0], wf_pooled)))
+    np.testing.assert_allclose(got_var, expected_var, rtol=1e-10)
+    # every chain gets the identical pooled state
+    assert np.asarray(wf_pooled.mean).std(axis=0).max() == 0.0
+    np.testing.assert_allclose(
+        np.asarray(wf_pooled.count), C * n, rtol=1e-12
+    )
+
+
+def test_pooled_adaptation_default_on():
+    from covid19uk_tpu.config import McmcConfig
+
+    assert McmcConfig().pooled_adaptation is True
