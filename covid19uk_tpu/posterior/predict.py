@@ -54,7 +54,15 @@ def predicted_incidence(
       num_steps: days to simulate.
       out_of_sample: re-base alpha_0 to the trajectory value at
         ``init_step`` and re-simulate alpha_t from its prior
-        (reference predict.py:40-48).
+        (reference predict.py:40-48).  Distributionally identical to the
+        reference for any ``init_step``: deleting alpha_t there makes TFP
+        re-draw it from the *prediction-window* model's prior —
+        MVN(0, 0.005^2 I_{num_steps-1}) — which is exactly
+        :meth:`CovidUK.sample_prior_alpha_t` here; both then gather the
+        walk at clipped absolute time (model_spec.py:242-256), so for
+        ``init_step >= num_steps - 1`` the whole window reads the walk's
+        endpoint b'[num_steps-2] (a reference quirk, preserved; tested in
+        tests/test_predict_details.py).
 
     Returns:
       (new_init_state [S, M, 4], events [S, M, num_steps, 3])

@@ -99,3 +99,61 @@ def test_run_log_jsonl_events(tmp_path, rng):
     assert {"hmc_accept", "draws_per_sec", "step_size"} <= set(w)
     d = events[-1]
     assert "psi" in d and "ess" in d["psi"]
+
+
+def test_oos_alpha_resim_formula_at_positive_init_step(rng):
+    """At init_step > 0 the re-simulated OOS log-rate series must equal the
+    reference's formula: a fresh prediction-window random walk
+    b' = alpha_0' + cumsum(alpha_t'), gathered at clipped ABSOLUTE time
+    (model_spec.py:242-256) — so for init_step >= horizon-1 every
+    prediction step reads the walk endpoint (VERDICT round 1 #10)."""
+    from covid19uk_tpu.models.spec import _alpha_timeseries
+
+    M, T = 3, 30
+    data = make_test_data(rng, M, T, jnp.float64)
+    init = np.stack(
+        [np.asarray(data.N) - 30, np.full(M, 10.0), np.full(M, 20.0),
+         np.zeros(M)], -1
+    )
+
+    for init_step, horizon in [(3, 8), (10, 8), (25, 5)]:
+        model = CovidUK(data, jnp.asarray(init), init_step, horizon)
+        fresh = model.sample_prior_alpha_t(jax.random.PRNGKey(7), jnp.float64)
+        assert fresh.shape == (horizon - 1,)  # prediction-window prior
+        alpha_0 = jnp.float64(-1.3)
+        t_abs = init_step + jnp.arange(horizon)
+        got = np.asarray(_alpha_timeseries(alpha_0, fresh, t_abs))
+        b = -1.3 + np.cumsum(np.asarray(fresh))
+        want = np.where(
+            np.asarray(t_abs) == 0,
+            -1.3,
+            b[np.clip(np.asarray(t_abs) - 1, 0, horizon - 2)],
+        )
+        np.testing.assert_allclose(got, want, rtol=1e-12)
+        if init_step >= horizon - 1:
+            # endpoint clamp: the whole window reads b'[-1]
+            np.testing.assert_allclose(got, b[-1])
+
+
+def test_oos_prediction_varies_across_seeds_at_positive_init_step(rng):
+    """OOS at init_step>0 must actually re-draw alpha_t (different seeds =>
+    different trajectories), while in-sample prediction reuses the
+    posterior alpha_t (same events => same rates, only binomial noise)."""
+    M, T = 4, 20
+    data = make_test_data(rng, M, T, jnp.float32)
+    params = make_test_params(rng, M, T, jnp.float32)
+    N = np.asarray(data.N)
+    init = np.stack(
+        [N - 600, np.full(M, 250.0), np.full(M, 350.0), np.zeros(M)], -1
+    )
+    model = CovidUK(data, jnp.asarray(init, jnp.float32), 0, T)
+    samples = _samples_from(params, model, S=6)
+
+    _, ev_a = predicted_incidence(
+        dict(samples), init, data, 10, 6, out_of_sample=True, seed=1
+    )
+    _, ev_b = predicted_incidence(
+        dict(samples), init, data, 10, 6, out_of_sample=True, seed=2
+    )
+    assert not np.array_equal(np.asarray(ev_a), np.asarray(ev_b))
+    assert np.isfinite(np.asarray(ev_a)).all()
