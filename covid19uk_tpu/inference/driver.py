@@ -540,6 +540,12 @@ def mcmc(data_file, output_file, config):
     """
     if isinstance(config, dict):
         config = McmcConfig.from_dict(config)
+    # Multi-host: joins the jax.distributed coordinator when the standard
+    # cluster env vars are set (no-op single-process; must precede any
+    # backend use).  SURVEY.md §5 'Distributed communication backend'.
+    from covid19uk_tpu.parallel.distributed import initialize as dist_init
+
+    dist_init()
     if config.debug_nans:
         jax.config.update("jax_debug_nans", True)
     dtype = jnp.float64 if config.dtype == "float64" else jnp.float32

@@ -149,3 +149,26 @@ def test_gate_statistics_matches_jnp_diagnostics(rng):
     ess_j = np.asarray(effective_sample_size(jnp.asarray(x)))
     np.testing.assert_allclose(max_rhat, rhat_j.max(), rtol=1e-6)
     np.testing.assert_allclose(min_ess, ess_j.min(), rtol=1e-5)
+
+
+@pytest.mark.slow
+def test_distributed_two_process_dryrun():
+    """Process-spanning mesh smoke test: two CPU processes join through
+    jax.distributed, run one sharded MCMC step over a 4-device global mesh,
+    and must agree on the replicated checksum (VERDICT round 1 #8).
+    Spawns subprocesses; the parent's jax state is untouched."""
+    import sys
+
+    sys.path.insert(0, "/root/repo")
+    from __graft_entry__ import dryrun_multichip
+
+    dryrun_multichip(4, n_processes=2)  # raises on failure
+
+
+def test_distributed_initialize_noop_single_process(monkeypatch):
+    """Bare initialize() without args/env must be a harmless no-op."""
+    from covid19uk_tpu.parallel import distributed
+
+    monkeypatch.delenv("JAX_COORDINATOR_ADDRESS", raising=False)
+    monkeypatch.delenv("JAX_NUM_PROCESSES", raising=False)
+    assert distributed.initialize() is False
