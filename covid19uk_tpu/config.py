@@ -38,6 +38,10 @@ class McmcConfig:
     num_chains: int = 1
     pooled_adaptation: bool = True  # pool step-size/mass across chains
     use_mesh: bool = False  # shard chains over all visible devices
+    # With use_mesh: devices along the mesh's `space` axis — the location
+    # axis of the event tensor / commuting matmul is sharded over it
+    # (MSOA-scale model parallelism, SURVEY.md §2.8).  1 = chains only.
+    space_devices: int = 1
     # Convergence gating (SURVEY.md §5 "gated burst loop"): checked between
     # bursts on the scalar parameters; sampling stops early when every
     # enabled criterion is met.  None disables a criterion.
@@ -55,6 +59,7 @@ class McmcConfig:
         positive = [
             "dmax", "nmax", "m", "occult_nmax", "num_event_time_updates",
             "num_bursts", "num_burst_samples", "thin", "num_chains",
+            "space_devices",
         ]
         for name in positive:
             v = getattr(self, name)

@@ -188,29 +188,78 @@ def run_mcmc(
     )
     key = jax.random.PRNGKey(seed)
 
-    # Chain-axis mesh sharding: placing the inputs is all it takes — jit
-    # propagates the shardings through the windows/bursts and the chain
-    # axis is pure data parallelism (zero collectives in the transition).
+    # Mesh sharding: placing the inputs is all it takes — jit propagates
+    # the shardings through the windows/bursts.  The chain axis is pure
+    # data parallelism (zero collectives in the transition); with
+    # space_devices > 1 the event tensor's location axis and the commuting
+    # matmul are additionally model-parallel over the `space` axis (XLA
+    # inserts the psum/all-gathers from the annotations alone).
     shard = lambda x: x
+    shard_state = lambda s: s
     if config.use_mesh and jax.device_count() > 1:
         from jax.sharding import NamedSharding, PartitionSpec
 
-        from covid19uk_tpu.parallel.mesh import chain_mesh
+        from covid19uk_tpu.parallel.mesh import chain_mesh, chain_space_mesh
 
         n_dev = jax.device_count()
-        if C % n_dev != 0:
+        space = config.space_devices
+        if n_dev % space != 0:
             raise ValueError(
-                f"num_chains={C} must be a multiple of device count {n_dev} "
-                "when use_mesh is set"
+                f"space_devices={space} must divide device count {n_dev}"
             )
-        mesh = chain_mesh(n_dev)
+        chain_dev = n_dev // space
+        if C % chain_dev != 0:
+            raise ValueError(
+                f"num_chains={C} must be a multiple of the chain-axis "
+                f"device count {chain_dev} when use_mesh is set"
+            )
+        if space > 1:
+            if M % space != 0:
+                raise ValueError(
+                    f"num_locations={M} must be a multiple of "
+                    f"space_devices={space}"
+                )
+            mesh = chain_space_mesh(n_dev, space=space)
+            # The Pallas block-sparse operators are single-device programs
+            # (no SPMD partitioning rule): under space sharding XLA
+            # partitions the *dense* matmul instead, with Cstar
+            # column-sharded so the commute product is a local matmul +
+            # psum over `space`.
+            data = model.data._replace(
+                Cstar_bsr=None,
+                car_prec_bsr=None,
+                Cstar=jax.device_put(
+                    model.data.Cstar,
+                    NamedSharding(mesh, PartitionSpec(None, "space")),
+                ),
+            )
+            model = CovidUK(
+                data, model.initial_state, model.initial_step,
+                model.num_steps,
+            )
+        else:
+            mesh = chain_mesh(n_dev)
 
         def shard(x):
             spec = PartitionSpec("chain", *([None] * (x.ndim - 1)))
             return jax.device_put(x, NamedSharding(mesh, spec))
 
-        state = jax.tree.map(shard, state)
-        _log(f"Sharding {C} chains over {n_dev} devices")
+        def shard_state(s):
+            ev_spec = PartitionSpec(
+                "chain", "space" if space > 1 else None, None, None
+            )
+            return ChainState(
+                u=shard(s.u),
+                events=jax.device_put(
+                    s.events, NamedSharding(mesh, ev_spec)
+                ),
+            )
+
+        state = shard_state(state)
+        _log(
+            f"Sharding {C} chains over {chain_dev} devices"
+            + (f" x {space} space devices" if space > 1 else "")
+        )
 
     squeeze = C == 1
 
@@ -319,7 +368,7 @@ def run_mcmc(
         state, key, step_size, inv_mass, offset, extra = ckpt.load(
             checkpoint_path, state
         )
-        state = jax.tree.map(jnp.asarray, state)
+        state = shard_state(jax.tree.map(jnp.asarray, state))
         key, step_size, inv_mass = (
             jnp.asarray(key),
             jnp.asarray(step_size),

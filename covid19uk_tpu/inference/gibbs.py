@@ -117,13 +117,16 @@ def make_mcmc_step(
         # The state timeseries depends only on the events, which HMC holds
         # fixed — compute it ONCE here instead of inside every leapfrog
         # gradient (XLA does not hoist the cumsum out of the scan; measured
-        # 3x on the bare gradient at full-UK scale).
+        # 3x on the bare gradient at full-UK scale).  Ditto the commuting
+        # matvec Cstar @ (I/N): parameter-independent, so hoisting it
+        # removes the [M,M]@[M,T] matmul from every leapfrog gradient.
         full_state = seir.compute_state(model.initial_state, state.events)
         n_src = full_state[..., seir.SOURCE_STATES]
+        commute = model.commute_pressure(full_state[..., 2])
 
         def logdensity(u):
             params = unpack_parameters(constrain_parameters(u), T, M)
-            rates = model.transition_rates(params, full_state)
+            rates = model.transition_rates(params, full_state, commute)
             ll = jnp.sum(
                 binomial_log_pmf_from_rate(n_src, state.events, rates)
             )

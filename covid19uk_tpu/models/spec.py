@@ -51,9 +51,16 @@ class ModelData(NamedTuple):
       N: ``[M]`` population sizes.
       weekday: ``[Twd]`` mean-centred weekday indicator (model_spec.py:224-225).
       log_area: ``[M]`` mean-centred log(area / 1e8) (model_spec.py:228-230).
-      car_chol: ``[M, M]`` lower Cholesky factor of the CAR *precision*
-        ``Dw - rho * adjacency``.
-      car_logdet: scalar ``log det(precision)``.
+      car_precision: ``[M, M]`` CAR *precision* ``Dw - rho * adjacency``.
+        The prior density is the quadratic form ``x' P x`` — identical to the
+        reference's ``MultivariateNormalTriL(cholesky(inv(P)))`` but with no
+        triangular factor in the hot path (P inherits the adjacency's
+        sparsity; the Cholesky would fill in).
+      car_logdet: scalar ``log det(precision)`` (precomputed once).
+      Cstar_bsr / car_prec_bsr: optional block-sparse (Pallas block-ELL)
+        operators for the two symmetric hot matrices — built at MSOA scale
+        where the dense products are HBM-bound on mostly-zero matrices
+        (``ops/pallas/block_sparse.py``); None = use the dense arrays.
     """
 
     C: jnp.ndarray
@@ -62,15 +69,17 @@ class ModelData(NamedTuple):
     N: jnp.ndarray
     weekday: jnp.ndarray
     log_area: jnp.ndarray
-    car_chol: jnp.ndarray
+    car_precision: jnp.ndarray
     car_logdet: jnp.ndarray
+    Cstar_bsr: object = None
+    car_prec_bsr: object = None
 
     @property
     def num_locations(self):
         return self.N.shape[0]
 
     @classmethod
-    def create(cls, covariates, dtype=jnp.float32):
+    def create(cls, covariates, dtype=jnp.float32, sparse="auto"):
         """Builds ModelData from a dict of raw covariate arrays.
 
         Args:
@@ -79,6 +88,9 @@ class ModelData(NamedTuple):
             ``constant_data`` group written by the ETL
             (reference ``model_spec.py:49-105``).
           dtype: device dtype for all arrays.
+          sparse: "auto" (default) builds block-sparse operators for
+            ``Cstar`` / the CAR precision when M >= 1024 and the matrix's
+            128-block density is <= 0.5; True forces them; False disables.
         """
         C = np.asarray(covariates["C"], np.float64).copy()
         np.fill_diagonal(C, 0.0)
@@ -97,8 +109,10 @@ class ModelData(NamedTuple):
         adjacency = np.asarray(covariates["adjacency"], np.float64)
         Dw = np.diag(adjacency.sum(axis=-1))
         precision = Dw - CAR_RHO * adjacency
-        car_chol = np.linalg.cholesky(precision)
-        car_logdet = 2.0 * np.sum(np.log(np.diag(car_chol)))
+        car_logdet = _car_log_det(precision)
+
+        Cstar_bsr = _maybe_block_sparse(Cstar, dtype, sparse)
+        car_prec_bsr = _maybe_block_sparse(precision, dtype, sparse)
 
         return cls(
             C=jnp.asarray(C, dtype),
@@ -107,9 +121,46 @@ class ModelData(NamedTuple):
             N=jnp.asarray(np.squeeze(np.asarray(covariates["N"])), dtype),
             weekday=jnp.asarray(weekday, dtype),
             log_area=jnp.asarray(log_area, dtype),
-            car_chol=jnp.asarray(car_chol, dtype),
+            car_precision=jnp.asarray(precision, dtype),
             car_logdet=jnp.asarray(car_logdet, dtype),
+            Cstar_bsr=Cstar_bsr,
+            car_prec_bsr=car_prec_bsr,
         )
+
+
+def _maybe_block_sparse(a, dtype, sparse):
+    """Builds a :class:`BlockSparse` operator when it pays (see create)."""
+    if sparse is False:
+        return None
+    M = a.shape[0]
+    if sparse == "auto" and M < 1024:
+        return None
+    from covid19uk_tpu.ops.pallas.block_sparse import BlockSparse
+
+    bsr = BlockSparse.from_dense(a, dtype)
+    # Threshold from tools/bench_block_sparse.py on v5e: at 0.16 block
+    # density (RCM-reordered, census-realistic commuting flows) the kernel
+    # beats dense 1.52x; at 0.36 it only breaks even.
+    if sparse == "auto" and bsr.block_density > 0.3:
+        return None
+    return bsr
+
+
+def _car_log_det(precision):
+    """``log det`` of the CAR precision, computed once at model build.
+
+    Small problems use exact float64 LAPACK; at MSOA scale (M ~ 7000) the
+    host Cholesky takes minutes single-threaded, so the factorization runs
+    on the default jax device instead (the CAR precision is strictly
+    diagonally dominant — rho = 0.25 — so float32 is far more accurate than
+    needed for what is an additive constant in the log-density).
+    """
+    M = precision.shape[0]
+    if M <= 2048:
+        L = np.linalg.cholesky(precision)
+        return 2.0 * np.sum(np.log(np.diag(L)))
+    L = jnp.linalg.cholesky(jnp.asarray(precision))
+    return 2.0 * float(jnp.sum(jnp.log(jnp.diagonal(L))))
 
 
 class Parameters(NamedTuple):
@@ -226,18 +277,32 @@ class CovidUK:
 
     # ---------- rates ----------
 
-    def transition_rates(self, params: Parameters, state):
+    def commute_pressure(self, infectious):
+        """The spatial coupling ``Cstar @ (I/N)`` for all times at once —
+        one ``[M,M]@[M,T]`` MXU matmul.
+
+        Parameter-independent: callers evaluating the density repeatedly at
+        fixed events (the 16-leapfrog HMC) compute this ONCE and pass it to
+        :meth:`transition_rates` — XLA does not hoist a matmul out of the
+        leapfrog ``scan`` body, so the manual hoist removes ~17 redundant
+        ``[M,M]@[M,T]`` products per HMC step.
+        """
+        d = self.data
+        if d.Cstar_bsr is not None:
+            return d.Cstar_bsr.matmul(infectious / d.N[:, None])
+        return d.Cstar @ (infectious / d.N[:, None])
+
+    def transition_rates(self, params: Parameters, state, commute=None):
         """Per-transition rates for all times at once.
 
         Args:
           params: Parameters.
           state: ``[M, T, S]`` state timeseries (from compute_state).
+          commute: optional precomputed :meth:`commute_pressure` of
+            ``state[..., 2]`` (they must be consistent).
 
         Returns:
           ``[M, T, X]`` rates (X = 3: S->E, E->I, I->R).
-
-        The spatial coupling for all times is one MXU matmul:
-        ``Cstar @ (I/N)`` with I/N shaped [M, T].
         """
         d = self.data
         dtype = state.dtype
@@ -255,7 +320,8 @@ class CovidUK:
         )  # [M, T]
 
         infectious = state[..., 2]  # [M, T]
-        commute = d.Cstar @ (infectious / d.N[:, None])  # [M,M]@[M,T] -> MXU
+        if commute is None:
+            commute = self.commute_pressure(infectious)
         rate_se = (
             jnp.exp(eta)
             * (infectious + params.psi * w_t[None, :] * commute)
@@ -335,13 +401,20 @@ class CovidUK:
             - math.log(0.1)
             - 0.5 * (params.sigma_space / 0.1) ** 2
         )
-        # spatial_effect ~ CAR: precision form of MVNTriL(chol(inv(Dw-rho W)))
-        z = self.data.car_chol.T @ params.spatial_effect
+        # spatial_effect ~ CAR: quadratic form with the (sparse-able)
+        # precision — analytically x' L L' x = x' P x, so identical to the
+        # reference's MVNTriL(chol(inv(Dw - rho W))) without materializing
+        # the (dense, filled-in) Cholesky factor in the HMC gradient path.
+        x = params.spatial_effect
         M = self.data.num_locations
+        if self.data.car_prec_bsr is not None:
+            Px = self.data.car_prec_bsr.matmul(x)
+        else:
+            Px = x @ self.data.car_precision
         lp += (
             0.5 * self.data.car_logdet
             - 0.5 * M * _LOG_2PI
-            - 0.5 * jnp.sum(z**2)
+            - 0.5 * jnp.sum(x * Px, axis=-1)
         )
         lp += normal_lp(params.gamma0, 100.0)
         lp += normal_lp(params.gamma1, 100.0)

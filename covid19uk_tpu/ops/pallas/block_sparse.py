@@ -1,0 +1,369 @@
+"""Block-sparse (block-ELL) matrix times dense matrix, as a Pallas kernel.
+
+At MSOA scale (M ~ 7000 locations) the commuting coupling ``Cstar @ (I/N)``
+(reference hot op: ``/root/reference/covid19uk/model_spec.py:262``) is a
+``[M, M] @ [M, T]`` product with a *mostly-zero* ``Cstar``: commuting flows
+connect each area to a few dozen neighbours, so at 128x128-block granularity
+typical block density is 5-20%.  The dense product is HBM-bound — every
+step re-reads 196 MB of zeros at M=7000/f32 — which XLA cannot avoid
+because the sparsity is a property of the *values*.  This kernel reads only
+the populated blocks.
+
+Format: block-ELL.  The ``[M, M]`` matrix is tiled into ``B x B`` blocks
+(B = 128, one MXU tile); each block row stores its ``<= K`` populated blocks
+contiguously with their column-block indices, padded to a fixed K with
+zero blocks pointing at column 0 (which contribute exactly zero — no masks
+needed).  The kernel runs a ``(R, K)`` grid: the output block stays VMEM-
+resident across the K minor steps while the pallas pipeline double-buffers
+the value blocks and the gathered ``x`` blocks (whose index map reads the
+scalar-prefetched column indices).
+
+Differentiation: the two production matrices (``Cstar``, the CAR precision)
+are symmetric, so ``d(Ax)/dx`` applied to a cotangent ``g`` is just ``A g``
+— the same kernel.  ``from_dense`` asserts symmetry; values are constants
+(covariates), their cotangent is zero.
+
+Measured (TPU v5e, M=7168, T=128, f32): see ``tools/bench_block_sparse.py``
+output quoted in the repo README.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+BLOCK = 128  # one f32 MXU tile; also the lane width
+
+
+def _interpret():
+    return jax.default_backend() != "tpu"
+
+
+def _round_up(x, m):
+    return -(-x // m) * m
+
+
+def _matmul_kernel(cidx_ref, vals_ref, x_ref, o_ref):
+    """Grid (R, K): block row i accumulates vals[i, j] @ x[cidx[i, j]]."""
+
+    @pl.when(pl.program_id(1) == 0)
+    def _():
+        o_ref[:] = jnp.zeros_like(o_ref)
+
+    o_ref[:] += jnp.dot(
+        vals_ref[0, 0], x_ref[:], preferred_element_type=o_ref.dtype
+    )
+
+
+def _strip_kernel(cidx_ref, vals_ref, x_hbm_ref, o_ref, xbuf, sem):
+    """Grid ([S,] R): one step per block ROW, K gathered products inside.
+
+    The (R, K) variant above pays one grid-step launch (~0.8 us measured)
+    per 128x128x128 product — launch-bound at production shapes.  Here each
+    step does the whole row strip: the K ``x`` blocks are gathered from HBM
+    by explicit double-buffered async DMA (indices from the scalar-
+    prefetched ``col_idx`` in SMEM), overlapping the MXU products.
+
+    With a leading batch grid axis (vmapped chains), ``x`` is ``[S, RB, Tp]``
+    in HBM and the DMA source gains the batch index; values are shared.
+    """
+    # program_id must be read at kernel top level: inside a pl.when branch
+    # it escapes the interpreter's grid substitution.
+    i = pl.program_id(x_hbm_ref.ndim - 2)  # row-grid axis (last)
+    s = pl.program_id(0) if x_hbm_ref.ndim == 3 else None
+    K = vals_ref.shape[1]
+    B = o_ref.shape[-2]
+
+    def get_dma(slot, j):
+        if x_hbm_ref.ndim == 3:
+            src = x_hbm_ref.at[s, pl.ds(cidx_ref[i, j] * B, B), :]
+        else:
+            src = x_hbm_ref.at[pl.ds(cidx_ref[i, j] * B, B), :]
+        return pltpu.make_async_copy(src, xbuf.at[slot], sem.at[slot])
+
+    get_dma(0, 0).start()
+    o_ref[:] = jnp.zeros_like(o_ref)
+
+    def body(j, carry):
+        slot = j % 2
+
+        @pl.when(j + 1 < K)
+        def _():
+            get_dma((j + 1) % 2, j + 1).start()
+
+        get_dma(slot, j).wait()
+        prod = jnp.dot(
+            vals_ref[0, j], xbuf[slot], preferred_element_type=o_ref.dtype
+        )
+        if o_ref.ndim == 3:
+            o_ref[0] += prod
+        else:
+            o_ref[:] += prod
+        return carry
+
+    jax.lax.fori_loop(0, K, body, None)
+
+
+# Above this many bytes of value blocks per row strip, fall back to the
+# (R, K) kernel (the strip variant keeps a whole row's blocks in VMEM).
+_STRIP_VMEM_LIMIT = 8 * 1024 * 1024
+
+
+def _bsr_apply(values, col_idx, xp):
+    """Raw kernel call: block-ELL ``values [R,K,B,B] @ xp [(S,) R*B, Tp]``."""
+    R, K, B, _ = values.shape
+    Tp = xp.shape[-1]
+    batched = xp.ndim == 3
+    strip_bytes = K * B * B * values.dtype.itemsize
+    if strip_bytes <= _STRIP_VMEM_LIMIT:
+        if batched:
+            S = xp.shape[0]
+            grid = (S, R)
+            vals_spec = pl.BlockSpec(
+                (1, K, B, B), lambda s, i, c: (i, 0, 0, 0)
+            )
+            out_spec = pl.BlockSpec((1, B, Tp), lambda s, i, c: (s, i, 0))
+        else:
+            grid = (R,)
+            vals_spec = pl.BlockSpec((1, K, B, B), lambda i, c: (i, 0, 0, 0))
+            out_spec = pl.BlockSpec((B, Tp), lambda i, c: (i, 0))
+        grid_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=grid,
+            in_specs=[
+                vals_spec,
+                pl.BlockSpec(memory_space=pltpu.ANY),  # x stays in HBM
+            ],
+            out_specs=out_spec,
+            scratch_shapes=[
+                pltpu.VMEM((2, B, Tp), xp.dtype),
+                pltpu.SemaphoreType.DMA((2,)),
+            ],
+        )
+        kernel = _strip_kernel
+    else:
+        if batched:
+            S = xp.shape[0]
+            grid = (S, R, K)
+            in_specs = [
+                pl.BlockSpec((1, 1, B, B), lambda s, i, j, c: (i, j, 0, 0)),
+                pl.BlockSpec((1, B, Tp), lambda s, i, j, c: (s, c[i, j], 0)),
+            ]
+            out_spec = pl.BlockSpec(
+                (1, B, Tp), lambda s, i, j, c: (s, i, 0)
+            )
+
+            def kernel(cidx_ref, vals_ref, x_ref, o_ref):
+                @pl.when(pl.program_id(2) == 0)
+                def _():
+                    o_ref[:] = jnp.zeros_like(o_ref)
+
+                o_ref[0] += jnp.dot(
+                    vals_ref[0, 0], x_ref[0],
+                    preferred_element_type=o_ref.dtype,
+                )
+
+        else:
+            grid = (R, K)
+            in_specs = [
+                pl.BlockSpec((1, 1, B, B), lambda i, j, c: (i, j, 0, 0)),
+                pl.BlockSpec((B, Tp), lambda i, j, c: (c[i, j], 0)),
+            ]
+            out_spec = pl.BlockSpec((B, Tp), lambda i, j, c: (i, 0))
+            kernel = _matmul_kernel
+        grid_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=grid,
+            in_specs=in_specs,
+            out_specs=out_spec,
+        )
+    out_shape = (
+        (xp.shape[0], R * B, Tp) if batched else (R * B, Tp)
+    )
+    return pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct(out_shape, xp.dtype),
+        interpret=_interpret(),
+    )(col_idx, values, xp)
+
+
+def _bsr_matmul_impl(values, col_idx, x):
+    """Pad/unpad wrapper over the kernel; x is ``[(S,) M, T]``."""
+    R, K, B, _ = values.shape
+    n, t = x.shape[-2], x.shape[-1]
+    tp = _round_up(max(t, 1), BLOCK)
+    lead = x.shape[:-2]
+    xp = jnp.zeros(lead + (R * B, tp), x.dtype)
+    xp = xp.at[..., :n, :t].set(x)
+    return _bsr_apply(values, col_idx, xp)[..., :n, :t]
+
+
+@jax.custom_batching.custom_vmap
+def _bsr_core(values, col_idx, x):
+    """vmap-aware: a chain-vmapped call lowers to ONE kernel launch with a
+    leading batch grid axis (values shared across the batch) instead of
+    relying on the generic pallas batching rule."""
+    return _bsr_matmul_impl(values, col_idx, x)
+
+
+@_bsr_core.def_vmap
+def _bsr_core_vmap_rule(axis_size, in_batched, values, col_idx, x):
+    v_b, c_b, x_b = in_batched
+    if v_b or c_b:
+        raise NotImplementedError(
+            "vmap over BlockSparse values/col_idx is not supported "
+            "(the matrix is shared across chains)"
+        )
+    if x.ndim != 3:
+        raise NotImplementedError(
+            "bsr_matmul supports a single vmap level over x"
+        )
+    return _bsr_matmul_impl(values, col_idx, x), True
+
+
+# custom_vjp OUTSIDE custom_vmap: reverse-mode AD hits the VJP rule first
+# (custom_vmap has no linearization rule), and vmap of the VJP's pieces
+# re-enters the custom_vmap rule.
+@jax.custom_vjp
+def bsr_matmul(values, col_idx, x):
+    """``A @ x`` for symmetric block-ELL ``A``; x is ``[(S,) M, T]``."""
+    return _bsr_core(values, col_idx, x)
+
+
+def _bsr_fwd(values, col_idx, x):
+    return _bsr_core(values, col_idx, x), (values, col_idx)
+
+
+def _bsr_bwd(res, g):
+    values, col_idx = res
+    dx = _bsr_core(values, col_idx, g)  # A symmetric: A^T g = A g
+    return (
+        jnp.zeros_like(values),
+        np.zeros(col_idx.shape, jax.dtypes.float0),
+        dx,
+    )
+
+
+bsr_matmul.defvjp(_bsr_fwd, _bsr_bwd)
+
+
+@jax.tree_util.register_pytree_node_class
+class BlockSparse:
+    """A symmetric block-sparse (block-ELL) matrix with a Pallas matmul.
+
+    Registered as a pytree (values/col_idx are leaves; the logical size is
+    static aux data) so it can ride inside ``ModelData`` through jit/vmap
+    boundaries as a program *input* — at MSOA scale the values are tens of
+    MB and must not become compiled constants (see CLAUDE.md: the remote-
+    compile tunnel rejects >100 MB constant pools).
+    """
+
+    def __init__(self, values, col_idx, n, perm=None, inv_perm=None):
+        self.values = values  # [R, K, B, B]
+        self.col_idx = col_idx  # [R, K] int32
+        self.n = n  # logical size (static)
+        # Optional symmetric bandwidth-reducing permutation (RCM): block
+        # sparsity only exists if nearby locations share block rows, which
+        # an arbitrary input ordering destroys — the operator stores
+        # ``Pi A Pi^T`` and permutes x in / y out (two [M, T] gathers,
+        # negligible next to the saved block reads).
+        self.perm = perm  # [n] int32 or None
+        self.inv_perm = inv_perm  # [n] int32 or None
+
+    def tree_flatten(self):
+        return (self.values, self.col_idx, self.perm, self.inv_perm), (
+            self.n,
+        )
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        return cls(children[0], children[1], aux[0], children[2], children[3])
+
+    @property
+    def block_density(self):
+        R, K = self.col_idx.shape
+        return R * K / max(1, _round_up(self.n, BLOCK) // BLOCK) ** 2
+
+    @classmethod
+    def from_dense(cls, a, dtype=jnp.float32, block=BLOCK, reorder=True):
+        """Builds the block-ELL representation of a symmetric dense matrix.
+
+        Host-side, once per model build.  Padded slots carry a zero block at
+        column 0, so no in-kernel masking is needed.
+
+        Args:
+          reorder: apply a reverse-Cuthill-McKee permutation to concentrate
+            nonzeros near the diagonal before blocking.  Without it, an
+            arbitrary location ordering scatters each area's neighbours
+            across all block columns and block density approaches 1.
+        """
+        a = np.asarray(a)
+        n = a.shape[0]
+        if a.shape != (n, n):
+            raise ValueError(f"expected square matrix, got {a.shape}")
+        if not np.allclose(a, a.T, rtol=1e-6, atol=1e-12):
+            raise ValueError(
+                "BlockSparse.from_dense requires a symmetric matrix "
+                "(the VJP uses A^T = A)"
+            )
+        perm = inv_perm = None
+        if reorder:
+            from scipy.sparse import csr_matrix
+            from scipy.sparse.csgraph import reverse_cuthill_mckee
+
+            p = np.asarray(
+                reverse_cuthill_mckee(
+                    csr_matrix(a != 0), symmetric_mode=True
+                )
+            )
+            a = a[np.ix_(p, p)]
+            perm = jnp.asarray(p, jnp.int32)
+            inv_perm = jnp.asarray(np.argsort(p), jnp.int32)
+        R = _round_up(n, block) // block
+        ap = np.zeros((R * block, R * block), a.dtype)
+        ap[:n, :n] = a
+        blocks = ap.reshape(R, block, R, block).transpose(0, 2, 1, 3)
+        nz = np.abs(blocks).max(axis=(2, 3)) > 0  # [R, R]
+        K = max(1, int(nz.sum(axis=1).max()))
+        values = np.zeros((R, K, block, block), np.float64)
+        col_idx = np.zeros((R, K), np.int32)
+        for i in range(R):
+            cols = np.nonzero(nz[i])[0]
+            values[i, : len(cols)] = blocks[i, cols]
+            col_idx[i, : len(cols)] = cols
+        return cls(
+            jnp.asarray(values, dtype), jnp.asarray(col_idx), n,
+            perm, inv_perm,
+        )
+
+    def matmul(self, x):
+        """``A @ x`` with ``x`` of shape ``[M, T]`` or ``[M]``."""
+        vec = x.ndim == 1
+        if vec:
+            x = x[:, None]
+        if self.perm is not None:
+            x = x[self.perm]
+        y = bsr_matmul(self.values, self.col_idx, x)
+        if self.inv_perm is not None:
+            y = y[self.inv_perm]
+        return y[:, 0] if vec else y
+
+    def todense(self):
+        """Dense ``[n, n]`` reconstruction (host-side; tests / debugging)."""
+        R, K, B, _ = self.values.shape
+        vals = np.asarray(self.values)
+        cidx = np.asarray(self.col_idx)
+        dense = np.zeros((R * B, R * B), vals.dtype)
+        for i in range(R):
+            for j in range(K):
+                dense[
+                    i * B : (i + 1) * B,
+                    cidx[i, j] * B : (cidx[i, j] + 1) * B,
+                ] += vals[i, j]
+        dense = dense[: self.n, : self.n]
+        if self.inv_perm is not None:
+            ip = np.asarray(self.inv_perm)
+            dense = dense[np.ix_(ip, ip)]
+        return dense

@@ -1,35 +1,96 @@
 """Synthetic model/state builders for benchmarks, dry runs, and smoke tests.
 
 Shapes mirror the reference's problem sizes (NI example 11x32, full UK
-~380 LADs; SURVEY.md §6) with random commuting/population covariates and a
-chain-adjacency CAR graph.
+~380 LADs, MSOA ~7000; SURVEY.md §6).  Commuting flows follow a gravity
+model with distance cutoff — uniform random flows at MSOA scale produce
+unphysical negative net infection pressure (every location a huge net
+exporter), whereas gravity flows are local, bounded, and naturally sparse,
+matching the census commuting matrices the reference consumes
+(``/root/reference/covid19uk/data/loaders.py`` ``read_mobility``).
 """
 
 import numpy as np
 
 
-def build_synthetic_model(M, T, dtype, rng_seed=0):
-    """A CovidUK model over random covariates at (M locations, T days)."""
+def _pairwise_dist(coords):
+    """[M, M] Euclidean distances without the [M, M, 2] intermediate
+    (matters at MSOA scale: ~800 MB and minutes vs seconds)."""
+    c = np.asarray(coords, np.float32)
+    sq = (c**2).sum(axis=1)
+    d2 = sq[:, None] + sq[None, :] - 2.0 * (c @ c.T)
+    return np.sqrt(np.maximum(d2, 0.0))
+
+
+def gravity_flows(rng, N, coords, commute_frac=0.15, radius_frac=0.12):
+    """Origin-destination commuting matrix from a gravity model.
+
+    ``C[i, j]`` = number commuting from i to j:
+    ``commute_frac * N_i`` workers per origin, distributed over
+    destinations within a cutoff radius with weight ``N_j / (d_ij + d0)^2``.
+    The cutoff makes the matrix sparse at scale (each area interacts with
+    its neighbourhood only), like real census flows.
+
+    Args:
+      rng: numpy Generator.
+      N: ``[M]`` populations.
+      coords: ``[M, 2]`` planar coordinates in [0, 1).
+      commute_frac: fraction of each origin's population that commutes.
+      radius_frac: cutoff radius as a fraction of the unit box.
+
+    Returns:
+      ``[M, M]`` float64 flow matrix with zero diagonal.
+    """
+    M = N.shape[0]
+    d = _pairwise_dist(coords)
+    d0 = 0.2 * radius_frac  # softening: no singularity for near neighbours
+    w = N[None, :] / (d + d0) ** 2
+    w[d > radius_frac] = 0.0
+    np.fill_diagonal(w, 0.0)
+    row = w.sum(axis=1, keepdims=True)
+    # isolated points (none in practice): no outward commuting
+    flows = np.where(row > 0, commute_frac * N[:, None] * w / np.maximum(row, 1e-30), 0.0)
+    return flows
+
+
+def knn_adjacency(coords, k=6):
+    """Symmetric k-nearest-neighbour adjacency (every node degree >= k, so
+    the CAR precision ``Dw - 0.25 A`` is strictly diagonally dominant)."""
+    M = coords.shape[0]
+    d = _pairwise_dist(coords)
+    np.fill_diagonal(d, np.inf)
+    adjacency = np.zeros((M, M))
+    k = min(k, M - 1)
+    nn = np.argpartition(d, k, axis=1)[:, :k]
+    rows = np.repeat(np.arange(M), k)
+    adjacency[rows, nn.ravel()] = 1.0
+    return np.maximum(adjacency, adjacency.T)
+
+
+def build_synthetic_model(M, T, dtype, rng_seed=0, sparse="auto"):
+    """A CovidUK model over gravity-model covariates at (M locations, T days).
+
+    Args:
+      sparse: passed to ``ModelData.create`` — "auto" builds block-sparse
+        operators when the matrices are large and sparse enough to pay.
+    """
     import jax.numpy as jnp
 
     from covid19uk_tpu.models.spec import CovidUK, ModelData
 
     rng = np.random.default_rng(rng_seed)
-    C = rng.uniform(0, 300, size=(M, M))
-    np.fill_diagonal(C, 0)
-    adjacency = np.zeros((M, M))
-    for i in range(M - 1):
-        adjacency[i, i + 1] = adjacency[i + 1, i] = 1.0
+    coords = rng.uniform(0, 1, size=(M, 2))
+    N = np.exp(rng.normal(np.log(1.5e5), 0.5, size=M))
+    N = np.clip(N, 5e4, 1.2e6)
+    C = gravity_flows(rng, N, coords)
     covariates = dict(
         C=C,
         W=np.ones(T),
-        N=rng.uniform(8e4, 5e5, size=M),
-        adjacency=adjacency,
+        N=N,
+        adjacency=knn_adjacency(coords),
         weekday=(np.arange(T) % 7 < 5).astype(float),
         area=rng.uniform(1e8, 5e9, size=M),
     )
-    data = ModelData.create(covariates, dtype)
-    N = np.asarray(data.N)
+    data = ModelData.create(covariates, dtype, sparse=sparse)
     init = np.stack(
         [N - 60.0, np.full(M, 20.0), np.full(M, 40.0), np.zeros(M)], axis=-1
     )

@@ -96,7 +96,7 @@ def test_log_prior_matches_scipy(rng):
     got = float(model.log_prior(params))
 
     adjacency = None  # recompute CAR pieces from data
-    prec = np.asarray(data.car_chol) @ np.asarray(data.car_chol).T
+    prec = np.asarray(data.car_precision)
     cov = np.linalg.inv(prec)
     want = (
         stats.norm.logpdf(float(params.alpha_0), 0, 10)

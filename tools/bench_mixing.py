@@ -1,0 +1,133 @@
+"""Mixing study: min-scalar ESS/sec vs event-kernel configuration.
+
+The ESS bottleneck is gamma0 (the I->R intercept): its conditional given
+the latent infectious path is tight, so gamma0 mixes only as fast as the
+E->I event times move.  With windowed delta evaluation the event kernels
+are cheap relative to the 16-leapfrog HMC, so spending more proposals per
+step (num_event_time_updates / mmax) or tuning the displacement decays can
+buy ESS at a small throughput cost.  This tool measures the trade-off.
+
+    python tools/bench_mixing.py [--chains 16] [--scale ni|uk] \
+        [--sweeps 5] [--mmax 2] [--move-decay 0.9] [--x-decay 0.9] \
+        [--draws 500]
+
+Prints per-scalar ESS, min-ESS/sec, and acceptance rates.
+"""
+import argparse
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, ".")
+
+
+def run(scale, C, sweeps, mmax, move_decay, x_decay, n_draws, warm=300,
+        leapfrog=16, seed=0):
+    import jax
+    import jax.numpy as jnp
+
+    from covid19uk_tpu.inference import dual_averaging, welford
+    from covid19uk_tpu.inference.gibbs import (
+        EventKernelConfig, HMCTunables, make_mcmc_step,
+    )
+    from covid19uk_tpu.inference.warmup import (
+        make_fixed_runner, make_window_runner, regularized_variance,
+    )
+    from covid19uk_tpu.parallel.diagnostics import effective_sample_size
+    from covid19uk_tpu.utils.synthetic import (
+        build_synthetic_model, initial_chain_state,
+    )
+
+    M, T = (11, 32) if scale == "ni" else (380, 120)
+    model = build_synthetic_model(M, T, jnp.float32)
+    single = initial_chain_state(model)
+    state = jax.tree.map(
+        lambda x: jnp.broadcast_to(x, (C,) + x.shape), single
+    )
+    cfg = EventKernelConfig(
+        dmax=84, mmax=mmax, nmax=25, occult_nmax=15,
+        num_event_time_updates=sweeps, t_range=(T - 21, T),
+        move_decay=move_decay, x_decay=x_decay,
+    )
+    step = make_mcmc_step(model, leapfrog, cfg)
+
+    P = single.u.shape[-1]
+    da = jax.vmap(lambda _: dual_averaging.init(0.1, jnp.float32))(
+        jnp.arange(C))
+    wf = jax.vmap(lambda _: welford.init((P,), jnp.float32))(jnp.arange(C))
+    inv_mass = jnp.ones((C, P), jnp.float32)
+    warm_run = jax.jit(jax.vmap(
+        make_window_runner(step, warm, adapt_mass=True),
+        in_axes=(0, 0, 0, 0, 0, None),
+    ))
+    keys = jax.random.split(jax.random.PRNGKey(42 + seed), C)
+    state, da, wf, inv_mass, wdraws, _ = warm_run(
+        keys, state, da, wf, inv_mass, model)
+    jax.block_until_ready(state.u)
+    step_size = dual_averaging.step_size(da)
+    inv_mass = jax.vmap(regularized_variance)(
+        jax.vmap(welford.from_draws)(wdraws.u))
+
+    sample = jax.jit(jax.vmap(
+        make_fixed_runner(step, n_draws), in_axes=(0, 0, 0, 0, None)))
+    keys = jax.random.split(jax.random.PRNGKey(seed), C)
+    state, draws, traces = sample(keys, state, step_size, inv_mass, model)
+    jax.block_until_ready(draws.u)  # compile + burn
+
+    keys = jax.random.split(jax.random.PRNGKey(seed + 1), C)
+    t0 = time.time()
+    state, draws, traces = sample(keys, state, step_size, inv_mass, model)
+    jax.block_until_ready(draws.u)
+    wall = time.time() - t0
+
+    u = np.asarray(draws.u)  # [C, n, P]
+    names = ["psi", "sigma_space", "beta_area", "gamma0", "gamma1",
+             "alpha_0"]
+    ess = {
+        name: float(np.asarray(effective_sample_size(
+            jnp.asarray(u[:, :, i]))))
+        for i, name in enumerate(names)
+    }
+    acc = {
+        "hmc": float(np.asarray(traces.hmc.is_accepted).mean()),
+        "move_se": float(np.asarray(traces.move_se.is_accepted).mean()),
+        "move_ei": float(np.asarray(traces.move_ei.is_accepted).mean()),
+        "occ_se": float(np.asarray(traces.occult_se.is_accepted).mean()),
+        "occ_ei": float(np.asarray(traces.occult_ei.is_accepted).mean()),
+    }
+    return ess, acc, wall
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--chains", type=int, default=16)
+    ap.add_argument("--scale", choices=["ni", "uk"], default="ni")
+    ap.add_argument("--sweeps", type=int, default=5)
+    ap.add_argument("--mmax", type=int, default=2)
+    ap.add_argument("--move-decay", type=float, default=0.9)
+    ap.add_argument("--x-decay", type=float, default=0.9)
+    ap.add_argument("--draws", type=int, default=500)
+    ap.add_argument("--leapfrog", type=int, default=16)
+    args = ap.parse_args()
+
+    ess, acc, wall = run(
+        args.scale, args.chains, args.sweeps, args.mmax,
+        args.move_decay, args.x_decay, args.draws, leapfrog=args.leapfrog,
+    )
+    min_ess = min(ess.values())
+    argmin = min(ess, key=ess.get)
+    print(f"config: scale={args.scale} sweeps={args.sweeps} "
+          f"mmax={args.mmax} move_decay={args.move_decay} "
+          f"x_decay={args.x_decay} leapfrog={args.leapfrog}")
+    print("ESS:", {k: round(v, 1) for k, v in ess.items()})
+    print("acc:", {k: round(v, 3) for k, v in acc.items()})
+    print(
+        f"chains={args.chains} draws={args.draws} wall={wall:.1f}s  "
+        f"min-ESS/sec={min_ess / wall:.2f} (min: {argmin})  "
+        f"draws/sec={args.chains * args.draws / wall:.1f}"
+    )
+
+
+if __name__ == "__main__":
+    main()
