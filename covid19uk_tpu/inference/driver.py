@@ -626,7 +626,10 @@ def mcmc(data_file, output_file, config):
     T = events.shape[1]
     M = events.shape[0]
 
-    data = ModelData.create(constant_data.variables, dtype)
+    # keep_C=False: the raw directed flow matrix is only used by the
+    # within/between CLI (which builds its own ModelData); skipping it
+    # saves an [M, M] device transfer at MSOA scale.
+    data = ModelData.create(constant_data.variables, dtype, keep_C=False)
     model = CovidUK(
         data=data,
         initial_state=jnp.asarray(initial_state, dtype),

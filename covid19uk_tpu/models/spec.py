@@ -79,7 +79,8 @@ class ModelData(NamedTuple):
         return self.N.shape[0]
 
     @classmethod
-    def create(cls, covariates, dtype=jnp.float32, sparse="auto"):
+    def create(cls, covariates, dtype=jnp.float32, sparse="auto",
+               keep_C=True):
         """Builds ModelData from a dict of raw covariate arrays.
 
         Args:
@@ -89,15 +90,30 @@ class ModelData(NamedTuple):
             (reference ``model_spec.py:49-105``).
           dtype: device dtype for all arrays.
           sparse: "auto" (default) builds block-sparse operators for
-            ``Cstar`` / the CAR precision when M >= 1024 and the matrix's
-            128-block density is <= 0.5; True forces them; False disables.
+            ``Cstar`` / the CAR precision when M >= 1024 and the
+            post-reorder 128-block density is <= 0.3; True forces them;
+            False disables.
+          keep_C: keep the raw directed flow matrix on device.  Only the
+            within/between attribution uses it; the inference path passes
+            False at MSOA scale to skip a [M, M] device transfer.
+
+        When the CAR precision gets a block-sparse operator, the dense
+        ``car_precision`` is stored as a [0, 0] placeholder — the prior
+        only reads whichever representation is live.
         """
-        C = np.asarray(covariates["C"], np.float64).copy()
+        # Host math in the target precision: this host's page-fault rate
+        # makes every fresh [M, M] float64 buffer cost ~20 s at MSOA scale,
+        # so float32 models do float32 host prep (with float64 accumulation
+        # where a reduction spans M terms).
+        hdtype = np.float64 if dtype == jnp.float64 else np.float32
+        C = np.array(covariates["C"], hdtype)
         np.fill_diagonal(C, 0.0)
         Cstar = C + C.T
         # reduce_sum(C, axis=-2) in the reference sums over the dest axis,
         # i.e. column sums of C (model_spec.py:219).
-        np.fill_diagonal(Cstar, -C.sum(axis=-2))
+        np.fill_diagonal(
+            Cstar, -C.sum(axis=-2, dtype=np.float64).astype(hdtype)
+        )
 
         weekday = np.asarray(covariates["weekday"], np.float64)
         weekday = weekday - weekday.mean()
@@ -106,22 +122,29 @@ class ModelData(NamedTuple):
         log_area = np.log(area / 100000000.0)  # log area in 100 km^2
         log_area = log_area - log_area.mean()
 
-        adjacency = np.asarray(covariates["adjacency"], np.float64)
-        Dw = np.diag(adjacency.sum(axis=-1))
-        precision = Dw - CAR_RHO * adjacency
+        adjacency = np.asarray(covariates["adjacency"])
+        deg = adjacency.sum(axis=-1, dtype=np.float64)
+        # precision = Dw - rho * adjacency, built without the dense diag
+        precision = np.multiply(adjacency, -CAR_RHO, dtype=hdtype)
+        idx = np.arange(precision.shape[0])
+        precision[idx, idx] += deg.astype(hdtype)
         car_logdet = _car_log_det(precision)
 
         Cstar_bsr = _maybe_block_sparse(Cstar, dtype, sparse)
         car_prec_bsr = _maybe_block_sparse(precision, dtype, sparse)
 
+        empty = jnp.zeros((0, 0), dtype)
         return cls(
-            C=jnp.asarray(C, dtype),
+            C=jnp.asarray(C, dtype) if keep_C else empty,
             Cstar=jnp.asarray(Cstar, dtype),
             W=jnp.asarray(np.squeeze(np.asarray(covariates["W"])), dtype),
             N=jnp.asarray(np.squeeze(np.asarray(covariates["N"])), dtype),
             weekday=jnp.asarray(weekday, dtype),
             log_area=jnp.asarray(log_area, dtype),
-            car_precision=jnp.asarray(precision, dtype),
+            car_precision=(
+                empty if car_prec_bsr is not None
+                else jnp.asarray(precision, dtype)
+            ),
             car_logdet=jnp.asarray(car_logdet, dtype),
             Cstar_bsr=Cstar_bsr,
             car_prec_bsr=car_prec_bsr,
@@ -137,7 +160,9 @@ def _maybe_block_sparse(a, dtype, sparse):
         return None
     from covid19uk_tpu.ops.pallas.block_sparse import BlockSparse
 
-    bsr = BlockSparse.from_dense(a, dtype)
+    # symmetric by construction (Cstar = C + C', CAR precision) — skip the
+    # two-full-matrix-temporary symmetry check
+    bsr = BlockSparse.from_dense(a, dtype, check_symmetric=False)
     # Threshold from tools/bench_block_sparse.py on v5e: at 0.16 block
     # density (RCM-reordered, census-realistic commuting flows) the kernel
     # beats dense 1.52x; at 0.36 it only breaks even.
@@ -149,18 +174,26 @@ def _maybe_block_sparse(a, dtype, sparse):
 def _car_log_det(precision):
     """``log det`` of the CAR precision, computed once at model build.
 
-    Small problems use exact float64 LAPACK; at MSOA scale (M ~ 7000) the
-    host Cholesky takes minutes single-threaded, so the factorization runs
-    on the default jax device instead (the CAR precision is strictly
-    diagonally dominant — rho = 0.25 — so float32 is far more accurate than
-    needed for what is an additive constant in the log-density).
+    Small problems use exact float64 LAPACK.  At MSOA scale (M ~ 7000) a
+    dense factorization is minutes on this single-core host (and a device
+    Cholesky pays a 196 MB tunnel transfer), but the CAR precision is
+    adjacency-sparse — a sparse LU with fill-reducing ordering factors the
+    whole matrix in well under a second, and ``log det = sum log|U_ii|``
+    (the matrix is SPD, so the determinant is positive).
     """
     M = precision.shape[0]
     if M <= 2048:
         L = np.linalg.cholesky(precision)
         return 2.0 * np.sum(np.log(np.diag(L)))
-    L = jnp.linalg.cholesky(jnp.asarray(precision))
-    return 2.0 * float(jnp.sum(jnp.log(jnp.diagonal(L))))
+    from scipy.sparse import csc_matrix
+    from scipy.sparse.linalg import splu
+
+    lu = splu(csc_matrix(precision))
+    logdet = float(
+        np.sum(np.log(np.abs(lu.U.diagonal())))
+        + np.sum(np.log(np.abs(lu.L.diagonal())))
+    )
+    return logdet
 
 
 class Parameters(NamedTuple):

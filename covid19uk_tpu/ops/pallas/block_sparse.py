@@ -287,55 +287,73 @@ class BlockSparse:
         return R * K / max(1, _round_up(self.n, BLOCK) // BLOCK) ** 2
 
     @classmethod
-    def from_dense(cls, a, dtype=jnp.float32, block=BLOCK, reorder=True):
+    def from_dense(cls, a, dtype=jnp.float32, block=BLOCK, reorder=True,
+                   check_symmetric=True):
         """Builds the block-ELL representation of a symmetric dense matrix.
 
         Host-side, once per model build.  Padded slots carry a zero block at
-        column 0, so no in-kernel masking is needed.
+        column 0, so no in-kernel masking is needed.  The block structure is
+        derived from the sparse coordinate list and values are gathered one
+        populated block at a time — never materializing a permuted copy of
+        the full matrix (this host's page-fault rate makes every fresh
+        [M, M] buffer cost ~20 s at MSOA scale).
 
         Args:
           reorder: apply a reverse-Cuthill-McKee permutation to concentrate
             nonzeros near the diagonal before blocking.  Without it, an
             arbitrary location ordering scatters each area's neighbours
             across all block columns and block density approaches 1.
+          check_symmetric: verify symmetry (the VJP relies on A^T = A).
+            Callers constructing symmetric matrices by construction can
+            skip the two full-matrix temporaries the check costs.
         """
         a = np.asarray(a)
         n = a.shape[0]
         if a.shape != (n, n):
             raise ValueError(f"expected square matrix, got {a.shape}")
-        if not np.allclose(a, a.T, rtol=1e-6, atol=1e-12):
+        if check_symmetric and not np.allclose(
+            a, a.T, rtol=1e-6, atol=1e-12
+        ):
             raise ValueError(
                 "BlockSparse.from_dense requires a symmetric matrix "
                 "(the VJP uses A^T = A)"
             )
+        from scipy.sparse import csr_matrix
+
+        S = csr_matrix(a != 0)
         perm = inv_perm = None
+        p = None
         if reorder:
-            from scipy.sparse import csr_matrix
             from scipy.sparse.csgraph import reverse_cuthill_mckee
 
             p = np.asarray(
-                reverse_cuthill_mckee(
-                    csr_matrix(a != 0), symmetric_mode=True
-                )
-            )
-            a = a[np.ix_(p, p)]
+                reverse_cuthill_mckee(S, symmetric_mode=True)
+            ).astype(np.int64)
+            inv = np.empty(n, np.int64)
+            inv[p] = np.arange(n)
             perm = jnp.asarray(p, jnp.int32)
-            inv_perm = jnp.asarray(np.argsort(p), jnp.int32)
+            inv_perm = jnp.asarray(inv, jnp.int32)
+        coo = S.tocoo()
+        r = inv[coo.row] if p is not None else coo.row.astype(np.int64)
+        c = inv[coo.col] if p is not None else coo.col.astype(np.int64)
         R = _round_up(n, block) // block
-        ap = np.zeros((R * block, R * block), a.dtype)
-        ap[:n, :n] = a
-        blocks = ap.reshape(R, block, R, block).transpose(0, 2, 1, 3)
-        nz = np.abs(blocks).max(axis=(2, 3)) > 0  # [R, R]
-        K = max(1, int(nz.sum(axis=1).max()))
-        values = np.zeros((R, K, block, block), np.float64)
+        pairs = np.unique((r // block) * R + (c // block))
+        pbi, pbj = pairs // R, pairs % R
+        K = max(1, int(np.bincount(pbi, minlength=R).max()))
+        np_dtype = np.dtype(jnp.dtype(dtype).name)
+        values = np.zeros((R, K, block, block), np_dtype)
         col_idx = np.zeros((R, K), np.int32)
-        for i in range(R):
-            cols = np.nonzero(nz[i])[0]
-            values[i, : len(cols)] = blocks[i, cols]
-            col_idx[i, : len(cols)] = cols
+        slot = np.zeros(R, np.int32)
+        rows_of = p if p is not None else np.arange(n)
+        for bi, bj in zip(pbi, pbj):
+            s_i = slot[bi]
+            slot[bi] += 1
+            col_idx[bi, s_i] = bj
+            ro = rows_of[bi * block : min((bi + 1) * block, n)]
+            co = rows_of[bj * block : min((bj + 1) * block, n)]
+            values[bi, s_i, : len(ro), : len(co)] = a[np.ix_(ro, co)]
         return cls(
-            jnp.asarray(values, dtype), jnp.asarray(col_idx), n,
-            perm, inv_perm,
+            jnp.asarray(values), jnp.asarray(col_idx), n, perm, inv_perm
         )
 
     def matmul(self, x):

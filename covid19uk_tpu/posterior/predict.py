@@ -140,7 +140,11 @@ def predict(
     covariates = dict(covar.variables)
     dow = (dates.astype("datetime64[D]").view("int64") + 3) % 7  # epoch=Thu
     covariates["weekday"] = (dow < 5).astype(float)
-    model_data = ModelData.create(covariates, jnp.float32)
+    # dense-only, no raw C: the forward simulation uses the per-step rate
+    # fn (dense Cstar); skip the block-sparse build + [M,M] C transfer
+    model_data = ModelData.create(
+        covariates, jnp.float32, sparse=False, keep_C=False
+    )
 
     estimated_init_state, predicted_events = predicted_incidence(
         samples,

@@ -67,7 +67,11 @@ def reproduction_number(input_files, output_file):
     num_samples = samples["seir"].shape[0]
 
     initial_state = samples.pop("initial_state")
-    data = ModelData.create(covar.variables, jnp.float32)
+    # dense-only, no raw C: the NGM reads Cstar; skip the block-sparse
+    # build + [M,M] C transfer
+    data = ModelData.create(
+        covar.variables, jnp.float32, sparse=False, keep_C=False
+    )
     times = np.arange(samples["seir"].shape[-2])
 
     r_its = []

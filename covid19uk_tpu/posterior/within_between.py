@@ -67,7 +67,7 @@ def within_between(input_files, output_file):
     with open(input_files[1], "rb") as f:
         samples = pkl.load(f)
 
-    data = ModelData.create(covar.variables, jnp.float64)
+    data = ModelData.create(covar.variables, jnp.float64, sparse=False)
     psi = jnp.asarray(samples["psi"], jnp.float64)
     events = jnp.asarray(samples["seir"], jnp.float64)
     init_state = jnp.asarray(samples["initial_state"], jnp.float64)

@@ -13,12 +13,21 @@ import numpy as np
 
 
 def _pairwise_dist(coords):
-    """[M, M] Euclidean distances without the [M, M, 2] intermediate
-    (matters at MSOA scale: ~800 MB and minutes vs seconds)."""
+    """[M, M] Euclidean distances, allocation-frugal.
+
+    This host only has ONE core and pathologically slow page faults on
+    fresh large buffers (~20 s per 200 MB at MSOA scale), so everything
+    runs in-place on a single [M, M] float32 buffer.
+    """
     c = np.asarray(coords, np.float32)
     sq = (c**2).sum(axis=1)
-    d2 = sq[:, None] + sq[None, :] - 2.0 * (c @ c.T)
-    return np.sqrt(np.maximum(d2, 0.0))
+    d2 = c @ c.T  # the single [M, M] allocation
+    d2 *= -2.0
+    d2 += sq[:, None]
+    d2 += sq[None, :]
+    np.maximum(d2, 0.0, out=d2)
+    np.sqrt(d2, out=d2)
+    return d2
 
 
 def gravity_flows(rng, N, coords, commute_frac=0.15, radius_frac=0.12):
@@ -38,18 +47,23 @@ def gravity_flows(rng, N, coords, commute_frac=0.15, radius_frac=0.12):
       radius_frac: cutoff radius as a fraction of the unit box.
 
     Returns:
-      ``[M, M]`` float64 flow matrix with zero diagonal.
+      ``[M, M]`` float32 flow matrix with zero diagonal.
     """
     M = N.shape[0]
-    d = _pairwise_dist(coords)
+    w = _pairwise_dist(coords)  # reused in place: d -> weights -> flows
     d0 = 0.2 * radius_frac  # softening: no singularity for near neighbours
-    w = N[None, :] / (d + d0) ** 2
-    w[d > radius_frac] = 0.0
+    far = w > radius_frac
+    w += d0
+    np.square(w, out=w)
+    np.divide(N[None, :].astype(np.float32), w, out=w)
+    w[far] = 0.0
     np.fill_diagonal(w, 0.0)
-    row = w.sum(axis=1, keepdims=True)
-    # isolated points (none in practice): no outward commuting
-    flows = np.where(row > 0, commute_frac * N[:, None] * w / np.maximum(row, 1e-30), 0.0)
-    return flows
+    row = w.sum(axis=1, dtype=np.float64)  # f64 accumulate, then scale
+    scale = np.where(
+        row > 0, commute_frac * N / np.maximum(row, 1e-30), 0.0
+    ).astype(np.float32)
+    w *= scale[:, None]
+    return w
 
 
 def knn_adjacency(coords, k=6):
@@ -58,20 +72,26 @@ def knn_adjacency(coords, k=6):
     M = coords.shape[0]
     d = _pairwise_dist(coords)
     np.fill_diagonal(d, np.inf)
-    adjacency = np.zeros((M, M))
     k = min(k, M - 1)
     nn = np.argpartition(d, k, axis=1)[:, :k]
+    adjacency = np.zeros((M, M), np.float32)
     rows = np.repeat(np.arange(M), k)
     adjacency[rows, nn.ravel()] = 1.0
-    return np.maximum(adjacency, adjacency.T)
+    np.maximum(adjacency, adjacency.T, out=adjacency)
+    return adjacency
 
 
-def build_synthetic_model(M, T, dtype, rng_seed=0, sparse="auto"):
+def build_synthetic_model(M, T, dtype, rng_seed=0, sparse="auto",
+                          radius_frac=0.12):
     """A CovidUK model over gravity-model covariates at (M locations, T days).
 
     Args:
       sparse: passed to ``ModelData.create`` — "auto" builds block-sparse
         operators when the matrices are large and sparse enough to pay.
+      radius_frac: commuting cutoff radius (fraction of the unit box).
+        0.12 suits LAD-scale M (~17 neighbours at M=380); MSOA-scale runs
+        should use ~0.05 (0.8% element density at M=7000, conservative vs
+        the 2011 census matrix's 0.46%).
     """
     import jax.numpy as jnp
 
@@ -81,7 +101,7 @@ def build_synthetic_model(M, T, dtype, rng_seed=0, sparse="auto"):
     coords = rng.uniform(0, 1, size=(M, 2))
     N = np.exp(rng.normal(np.log(1.5e5), 0.5, size=M))
     N = np.clip(N, 5e4, 1.2e6)
-    C = gravity_flows(rng, N, coords)
+    C = gravity_flows(rng, N, coords, radius_frac=radius_frac)
     covariates = dict(
         C=C,
         W=np.ones(T),
@@ -122,7 +142,12 @@ def initial_chain_state(model, rng_seed=0):
         alpha_t=jnp.asarray(rng.normal(0, 0.005, T - 1), dtype),
         spatial_effect=jnp.asarray(rng.normal(0, 0.3, M), dtype),
     )
-    # jit: eager per-op dispatch over a tunneled TPU is pathologically slow
-    events = jax.jit(model.sample_seir)(jax.random.PRNGKey(7), params)
+    # jit: eager per-op dispatch over a tunneled TPU is pathologically
+    # slow.  The model goes through the jit boundary as a pytree argument:
+    # closing over it would bake the [M, M] covariates into the program's
+    # constant pool, which the remote-compile tunnel rejects at MSOA scale.
+    events = jax.jit(lambda m, k, p: m.sample_seir(k, p))(
+        model, jax.random.PRNGKey(7), params
+    )
     u = unconstrain_parameters(pack_parameters(params))
     return ChainState(u=u, events=events)
