@@ -140,19 +140,26 @@ def main():
         return state, us
 
     sample_j = jax.jit(jax.vmap(sample, in_axes=(0, 0, 0, 0, None)))
+
+    def force(x):
+        # Wall-clock fence via a host fetch of a data-dependent scalar:
+        # on the experimental axon backend block_until_ready can return
+        # before remote execution completes, silently shrinking walls.
+        return float(jnp.sum(x[..., -1, :4]))
+
     # compile (excluded from timing)
     _, us = sample_j(
         jax.random.split(jax.random.PRNGKey(2), C), state, step_size,
         inv_mass, model,
     )
-    jax.block_until_ready(us)
+    force(us)
 
     t0 = time.time()
     state, us = sample_j(
         jax.random.split(jax.random.PRNGKey(3), C), state, step_size,
         inv_mass, model,
     )
-    jax.block_until_ready(us)
+    force(us)
     wall = time.time() - t0
 
     # ---- pooled multi-chain ESS of the six scalars (constrained space)

@@ -59,11 +59,13 @@ def main(M=7000, T=120, radius_frac=0.05):
     print(f"max rel err sparse vs dense: {err:.2e}")
 
     def timeit(f, *args, iters=50):
-        jax.block_until_ready(f(*args))  # compile+warm
+        # fence via a data-dependent scalar fetch: on the axon backend
+        # block_until_ready returns before remote execution completes
+        float(jnp.sum(f(*args)))  # compile+warm
         t0 = time.time()
         for _ in range(iters):
             out = f(*args)
-        jax.block_until_ready(out)
+        float(jnp.sum(out))
         return (time.time() - t0) / iters
 
     td = timeit(f_dense, dense, x)

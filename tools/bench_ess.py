@@ -63,12 +63,13 @@ def main(num_chains=16):
     keys = jax.random.split(jax.random.PRNGKey(0), C)
     # warm start: run once for compile + burn-in
     state, draws, _ = run(keys, state, tune.step_size, tune.inv_mass_diag)
-    jax.block_until_ready(draws.u)
+    # fence via data-dependent fetch: axon's block_until_ready returns early
+    float(jnp.sum(draws.u[:, -1, :4]))
 
     keys = jax.random.split(jax.random.PRNGKey(1), C)
     t0 = time.time()
     state, draws, _ = run(keys, state, tune.step_size, tune.inv_mass_diag)
-    jax.block_until_ready(draws.u)
+    float(jnp.sum(draws.u[:, -1, :4]))
     wall = time.time() - t0
 
     u = np.asarray(draws.u)  # [C, n, P]

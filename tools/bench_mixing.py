@@ -71,14 +71,19 @@ def run(scale, C, sweeps, mmax, move_decay, x_decay, n_draws, warm=300,
 
     sample = jax.jit(jax.vmap(
         make_fixed_runner(step, n_draws), in_axes=(0, 0, 0, 0, None)))
+    def force(x):
+        # wall fence via data-dependent host fetch: on axon
+        # block_until_ready can return before remote execution completes
+        return float(jnp.sum(x[:, -1, :4]))
+
     keys = jax.random.split(jax.random.PRNGKey(seed), C)
     state, draws, traces = sample(keys, state, step_size, inv_mass, model)
-    jax.block_until_ready(draws.u)  # compile + burn
+    force(draws.u)  # compile + burn
 
     keys = jax.random.split(jax.random.PRNGKey(seed + 1), C)
     t0 = time.time()
     state, draws, traces = sample(keys, state, step_size, inv_mass, model)
-    jax.block_until_ready(draws.u)
+    force(draws.u)
     wall = time.time() - t0
 
     u = np.asarray(draws.u)  # [C, n, P]

@@ -53,10 +53,15 @@ def main(M=7000, T=120, chains=1, mode="sparse", radius_frac=0.05):
     many = jax.jit(
         jax.vmap(step, in_axes=(0, 0, 0, None)), donate_argnums=1
     )
+    def fence(x):
+        # data-dependent scalar fetch: on axon, block_until_ready returns
+        # before remote execution completes
+        return float(np.asarray(jnp.sum(x[..., :4])))
+
     t0 = time.time()
     keys = jax.random.split(jax.random.PRNGKey(0), C)
     state, trace = many(keys, state, tune, model)
-    jax.block_until_ready(state.u)
+    fence(state.u)
     print(f"compile+first step: {time.time() - t0:.1f}s")
 
     n = 20
@@ -64,7 +69,7 @@ def main(M=7000, T=120, chains=1, mode="sparse", radius_frac=0.05):
     for i in range(n):
         keys = jax.random.split(jax.random.PRNGKey(i + 1), C)
         state, trace = many(keys, state, tune, model)
-    jax.block_until_ready(state.u)
+    fence(state.u)
     dt = (time.time() - t0) / n
     lp = float(np.asarray(trace.hmc.target_log_prob)[0])
     assert np.isfinite(lp), lp

@@ -87,13 +87,18 @@ def main(M=7000, T=120, radius_frac=0.05):
         num_event_time_updates=5, t_range=(T - 21, T),
     )
 
+    def fence(out):
+        # data-dependent scalar fetch: on axon, block_until_ready returns
+        # before remote execution completes
+        leaf = jax.tree.leaves(out)[0]
+        return float(jnp.sum(jnp.ravel(leaf)[:8]))
+
     def timeit(f, *args, n=20):
-        out = f(*args)
-        jax.block_until_ready(out)
+        fence(f(*args))
         t0 = time.time()
         for _ in range(n):
             out = f(*args)
-        jax.block_until_ready(out)
+        fence(out)
         return (time.time() - t0) / n
 
     key = jax.random.PRNGKey(0)
