@@ -12,12 +12,15 @@ target >= 50x CPU**.  This benchmark:
    ``min-scalar ESS / sampling wall seconds``;
 3. compares against the *reproducible* CPU ESS/sec baseline: the FROZEN
    naive-v1 sampler (``tools/naive_v1.py`` — full-likelihood re-evaluation
-   everywhere, single chain, the TF reference's evaluation strategy) drives
-   the *identical* proposal distributions, so its ESS-per-draw equals the
-   production sampler's by construction and its ESS/sec is
+   everywhere, single chain, the TF reference's evaluation strategy, the
+   reference's 4-kernel proposal stack) at
    ``ESS-per-draw x naive CPU steps/sec``.  The constant below is measured
    by ``tools/measure_cpu_baseline.py`` and is re-derivable at any commit
    because the naive implementation is vendored and never optimized.
+   ESS-per-draw is taken from THIS run, which includes the compensated
+   (gamma0, E->I) ridge kernel the reference never had — that *overstates*
+   the CPU chain's achievable ESS-per-draw, so ``vs_baseline`` is a
+   conservative lower bound on the true speedup.
 
 Prints exactly one JSON line:
   {"metric": "ess_per_sec_fulluk", "value": N, "unit": "min-ESS/sec",
@@ -74,9 +77,14 @@ def build(nchains, dtype_name="float32"):
     u = u.at[:, :6].add(jitter)
     state = ChainState(u=u, events=events)
 
+    import os
+
     cfg = EventKernelConfig(
         dmax=84, mmax=2, nmax=25, occult_nmax=15,
         num_event_time_updates=5, t_range=(T - 21, T),
+        # A/B knob for the episode-translation pair kernel (default: the
+        # production default).  BENCH_PAIR=0 disables.
+        num_pair_updates=int(os.environ.get("BENCH_PAIR", "1")),
     )
     step = make_mcmc_step(model, 16, cfg)
     return model, step, state

@@ -31,6 +31,16 @@ class McmcConfig:
     num_event_time_updates: int = 5
     move_decay: float = 0.9  # event-move displacement decay; 1.0 = uniform
     x_decay: float = 0.9  # event-count proposal decay; 1.0 = uniform
+    # Episode-translation pair moves (S->E and downstream E->I moved
+    # together): the measured fix for the slow infectious-person-time
+    # mode that throttles gamma0 ESS (gibbs.EventKernelConfig).
+    num_pair_updates: int = 1
+    pair_mmax: int = 1  # locations per pair proposal
+    # Joint (gamma0, E->I events) ridge move: measured neutral at NI
+    # scale (the binding penalty is the E-sojourn term, not I->R);
+    # kept as an option, off by default.
+    compensate_gamma0: bool = False
+    num_compensated_updates: int = 1  # ridge-move proposals per sweep
     num_bursts: int = 50
     num_burst_samples: int = 100
     thin: int = 1
@@ -58,6 +68,7 @@ class McmcConfig:
     def __post_init__(self):
         positive = [
             "dmax", "nmax", "m", "occult_nmax", "num_event_time_updates",
+            "num_compensated_updates", "pair_mmax",  # num_pair_updates may be 0
             "num_bursts", "num_burst_samples", "thin", "num_chains",
             "space_devices",
         ]
@@ -65,6 +76,13 @@ class McmcConfig:
             v = getattr(self, name)
             if not isinstance(v, int) or v < 1:
                 raise ValueError(f"Mcmc.{name} must be a positive int, got {v!r}")
+        if not isinstance(self.num_pair_updates, int) or (
+            self.num_pair_updates < 0
+        ):
+            raise ValueError(
+                "Mcmc.num_pair_updates must be a non-negative int, "
+                f"got {self.num_pair_updates!r}"
+            )
         for name in ("move_decay", "x_decay"):
             v = getattr(self, name)
             if not (0.0 < v <= 1.0):

@@ -139,6 +139,13 @@ def trace_to_results(traces, squeeze_chain):
         "move/E->I": _move_results(traces.move_ei, per_location=True),
         "occult/S->E": _move_results(traces.occult_se, per_location=False),
         "occult/E->I": _move_results(traces.occult_ei, per_location=False),
+        # Framework extensions (additive to the reference layout): the
+        # joint (gamma0, E->I) ridge-move kernel and the episode-
+        # translation pair-move kernel.
+        "move/E->I_compensated": _move_results(
+            traces.comp_ei, per_location=True
+        ),
+        "move/S->E+E->I_pair": _move_results(traces.pair, per_location=True),
     }
 
 
@@ -297,6 +304,15 @@ def run_mcmc(
         "target_log_prob": np.zeros((1,) + chain_shape, np_dtype),
         "proposed_delta": np.zeros((1,) + chain_shape + (4,), np_dtype),
     }
+    def loc_move_t(mmax):
+        return {
+            "is_accepted": np.zeros((1,) + chain_shape, bool),
+            "target_log_prob": np.zeros((1,) + chain_shape, np_dtype),
+            "proposed_delta": np.zeros(
+                (1,) + chain_shape + (4, mmax), np_dtype
+            ),
+        }
+
     results_template = {
         "hmc": {
             "is_accepted": np.zeros((1,) + chain_shape, bool),
@@ -307,6 +323,9 @@ def run_mcmc(
         "move/E->I": dict(move_t),
         "occult/S->E": occ_t,
         "occult/E->I": dict(occ_t),
+        # framework extensions (trace_to_results writes these too)
+        "move/E->I_compensated": dict(move_t),
+        "move/S->E+E->I_pair": loc_move_t(event_config.pair_mmax),
     }
     if resuming:
         # Never truncate an existing run: reopen and append past the
@@ -646,6 +665,10 @@ def mcmc(data_file, output_file, config):
         t_range=(T - 21, T),
         move_decay=config.move_decay,
         x_decay=config.x_decay,
+        compensate_gamma0=config.compensate_gamma0,
+        num_compensated_updates=config.num_compensated_updates,
+        num_pair_updates=config.num_pair_updates,
+        pair_mmax=config.pair_mmax,
     )
 
     u0 = jnp.zeros((6 + (T - 1) + M,), dtype)  # reference inference.py:563-576

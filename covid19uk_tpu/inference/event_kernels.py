@@ -119,21 +119,34 @@ def _log_mass_geometric(cap, decay):
     return jnp.log(jnp.maximum(1.0 - decay**cap_f, 1e-30))
 
 
-def event_move_step(
+class _MoveProposal(NamedTuple):
+    """Internals of one multi-location event-move proposal, shared by the
+    plain and the gamma0-compensated move kernels."""
+
+    events: jnp.ndarray  # proposed event tensor (moves applied)
+    state: jnp.ndarray  # proposed state tensor (consistent)
+    delta_lp: jnp.ndarray  # likelihood delta at fixed parameters
+    hastings: jnp.ndarray  # log q(reverse)/q(forward)
+    locs: jnp.ndarray  # [mmax]
+    t_src: jnp.ndarray  # [mmax]
+    t_dst: jnp.ndarray  # [mmax] clipped destination times
+    d: jnp.ndarray  # [mmax] displacements
+    x_eff: jnp.ndarray  # [mmax] events moved (0 for null locations)
+
+
+def _propose_moves(
     key,
     events,
     state,
-    current_logp,
     evaluator,
     target_id: int,
     dmax: int,
     mmax: int,
     nmax: int,
-    move_decay: float = 0.9,
-    x_decay: float = 1.0,
+    move_decay: float,
+    x_decay: float,
 ):
-    """Moves up to ``nmax`` events of one transition in time, at ``mmax``
-    locations jointly (one MH accept/reject).
+    """Samples and applies a multi-location move proposal.
 
     Proposal, per chosen location (locations uniform without replacement):
       t_src  ~ Uniform{t : events[loc, t, target] > 0}   (null if none)
@@ -147,7 +160,7 @@ def event_move_step(
                ``move_decay=1.0`` recovers the uniform proposal.
       x      ~ truncated geometric with decay ``x_decay`` on
                {1 .. min(nmax, events[loc, t_src, target])}
-               (``x_decay=1.0``, the default, is uniform)
+               (``x_decay=1.0`` is uniform)
       move x events from t_src to t_src + d.
 
     Hastings ratio: product over locations of
@@ -155,13 +168,10 @@ def event_move_step(
       [1/n_nonzero  * 1/min(nmax, count_src)  * Z_rev]
     with Z_* the displacement-pmf normalizers at the source/destination
     times (the decay^(|d|-1) factor is shared and cancels).
-
-    Returns:
-      (events, state, logp, EventMoveInfo)
     """
     M, T, X = events.shape
     dtype = events.dtype
-    k_loc, k_t, k_d, k_x, k_acc = jax.random.split(key, 5)
+    k_loc, k_t, k_d, k_x = jax.random.split(key, 4)
 
     locs = jax.random.choice(k_loc, M, (mmax,), replace=False)
     counts = events[locs, :, target_id]  # [mmax, T]
@@ -228,26 +238,316 @@ def event_move_step(
         - log_mass_rev.astype(dtype)
     )
     hastings = jnp.sum(jnp.where(active, log_q_rev - log_q_fwd, 0.0))
+    return _MoveProposal(
+        events=ev_cur,
+        state=st_cur,
+        delta_lp=delta_total,
+        hastings=hastings,
+        locs=locs,
+        t_src=t_src,
+        t_dst=t_dst_safe,
+        d=d,
+        x_eff=x_eff,
+    )
+
+
+def _revert_if_rejected(prop: _MoveProposal, accepted, target_id, mmax):
+    """Applies the inverse moves when rejected.
+
+    A full-tensor ``where(accepted, new, old)`` would copy the [M,T,X]
+    events and [M,T,S] state every proposal (the dominant HBM traffic at
+    scale); applying the inverse move with x=0-if-accepted touches only the
+    same few cells/rows.
+    """
+    x_revert = jnp.where(accepted, 0.0, prop.x_eff)
+    ev_cur, st_cur = prop.events, prop.state
+    for i in range(mmax):
+        ev_cur, st_cur = apply_event_delta(
+            ev_cur, st_cur, prop.locs[i], prop.t_dst[i], prop.t_src[i],
+            x_revert[i], target_id,
+        )
+    return ev_cur, st_cur
+
+
+def event_move_step(
+    key,
+    events,
+    state,
+    current_logp,
+    evaluator,
+    target_id: int,
+    dmax: int,
+    mmax: int,
+    nmax: int,
+    move_decay: float = 0.9,
+    x_decay: float = 1.0,
+):
+    """Moves up to ``nmax`` events of one transition in time, at ``mmax``
+    locations jointly (one MH accept/reject).
+
+    Proposal and Hastings ratio: see :func:`_propose_moves`.
+
+    Returns:
+      (events, state, logp, EventMoveInfo)
+    """
+    dtype = events.dtype
+    k_prop, k_acc = jax.random.split(key)
+    prop = _propose_moves(
+        k_prop, events, state, evaluator, target_id, dmax, mmax, nmax,
+        move_decay, x_decay,
+    )
+    log_alpha = prop.delta_lp + prop.hastings
+
+    u = jax.random.uniform(k_acc, (), dtype)
+    accepted = jnp.log(u) < log_alpha
+    ev_cur, st_cur = _revert_if_rejected(prop, accepted, target_id, mmax)
+    logp_out = current_logp + jnp.where(accepted, prop.delta_lp, 0.0)
+    info = EventMoveInfo(
+        is_accepted=accepted,
+        target_log_prob=logp_out,
+        m=prop.locs.astype(dtype),
+        t=prop.t_src.astype(dtype),
+        delta_t=prop.d.astype(dtype),
+        x_star=prop.x_eff,
+    )
+    return ev_cur, st_cur, logp_out, info
+
+
+def compensated_move_step(
+    key,
+    events,
+    state,
+    current_logp,
+    evaluator,
+    gamma,
+    potential_fn,
+    gamma_delta_fn,
+    target_id: int,
+    dmax: int,
+    mmax: int,
+    nmax: int,
+    move_decay: float = 0.9,
+    x_decay: float = 1.0,
+):
+    """Joint (gamma0, events) move: an event move plus a *deterministic*
+    compensating translation of a rate intercept.
+
+    Motivation: with the removals observed, gamma0 ~ log(removals /
+    infectious-person-time) sits on a tight likelihood ridge with the
+    latent E->I event times — an event move that changes person-time PT is
+    penalized by the I->R binomial at fixed gamma0, and a gamma0 change is
+    penalized at fixed events, so the two-block Gibbs chain random-walks
+    *across* the ridge (measured: corr(gamma0, log PT) ~ -0.45, PT lag-1
+    autocorrelation 0.98).  This kernel moves *along* it.
+
+    Proposal: sample an event move exactly as :func:`event_move_step`
+    (same Hastings machinery), then set
+
+        gamma' = gamma + potential(state) - potential(state')
+
+    (production: ``potential = log sum I`` so ``exp(gamma') * PT' =
+    exp(gamma) * PT``, preserving the expected number of removals).  For a
+    fixed event move the gamma update is a translation, so |Jacobian| = 1
+    and reversibility follows from the potential-difference form (the
+    reverse move's shift is exactly ``-shift``).
+
+    Note the kernel conserves ``gamma + potential(state)``: it is not
+    ergodic on its own and must be composed with a kernel that moves gamma
+    across the ridge (the HMC block does).
+
+    Args:
+      gamma: current scalar (e.g. gamma0, unconstrained = natural here).
+      potential_fn: ``state [M,T,S] -> scalar`` ridge potential.
+      gamma_delta_fn: ``(events', state', gamma, gamma') -> delta logp`` of
+        all gamma-dependent density terms evaluated at the *proposed*
+        events — i.e. ``logp(gamma', e') - logp(gamma, e')`` (production:
+        the I->R rate-only likelihood delta + the gamma0 prior delta).
+      Other args: as :func:`event_move_step`.
+
+    Returns:
+      (events, state, logp, gamma, EventMoveInfo)
+    """
+    dtype = events.dtype
+    k_prop, k_acc = jax.random.split(key)
+    phi_old = potential_fn(state)
+    prop = _propose_moves(
+        k_prop, events, state, evaluator, target_id, dmax, mmax, nmax,
+        move_decay, x_decay,
+    )
+    phi_new = potential_fn(prop.state)
+    gamma_new = gamma + phi_old - phi_new
+    delta_gamma = gamma_delta_fn(prop.events, prop.state, gamma, gamma_new)
+    delta_total = prop.delta_lp + delta_gamma
+    log_alpha = delta_total + prop.hastings
+
+    u = jax.random.uniform(k_acc, (), dtype)
+    accepted = jnp.log(u) < log_alpha
+    ev_cur, st_cur = _revert_if_rejected(prop, accepted, target_id, mmax)
+    gamma_out = jnp.where(accepted, gamma_new, gamma)
+    logp_out = current_logp + jnp.where(accepted, delta_total, 0.0)
+    info = EventMoveInfo(
+        is_accepted=accepted,
+        target_log_prob=logp_out,
+        m=prop.locs.astype(dtype),
+        t=prop.t_src.astype(dtype),
+        delta_t=prop.d.astype(dtype),
+        x_star=prop.x_eff,
+    )
+    return ev_cur, st_cur, logp_out, gamma_out, info
+
+
+def pair_move_step(
+    key,
+    events,
+    state,
+    current_logp,
+    evaluator,
+    dmax: int,
+    mmax: int,
+    nmax: int,
+    move_decay: float = 0.9,
+    x_decay: float = 1.0,
+):
+    """Translates infection *episodes*: moves x S->E events at t1 AND x
+    E->I events at t2 (same location) by the same displacement d, jointly.
+
+    Motivation: the min-scalar ESS bottleneck is the infectious person-time
+    PT = sum I (gamma0 tracks -log PT), and PT only changes when E->I times
+    move.  Measured penalty decomposition of single E->I moves at NI scale:
+    the E->I (NU-sojourn) binomial term dominates (-0.8..-2.2 median
+    log-lik for |d| = 1..8) because moving an E->I event breaks the E
+    occupancy implied by its upstream S->E event.  Moving the *pair*
+    preserves the sojourn structure (the E window [t1, t2) translates), so
+    the same |d| costs a median -0.9..+1.6 — large PT steps become
+    acceptable.
+
+    Proposal, per chosen location (uniform without replacement):
+      t2 ~ Uniform{t : events[loc, t, 1] > 0}          (null if none)
+      t1 ~ Uniform{t <= t2 : events[loc, t, 0] > 0}    (null if none)
+      d  ~ truncated two-sided geometric on
+           {-min(dmax, t1) .. -1} u {1 .. min(dmax, T-1-t2)}
+           (t1 <= t2 makes t1 left-binding and t2 right-binding; both
+           shifted times stay in [0, T))
+      x  ~ truncated geometric on
+           {1 .. min(nmax, events[loc,t1,0], events[loc,t2,1])}
+      move x S->E events t1 -> t1+d and x E->I events t2 -> t2+d.
+
+    Reversibility: the reverse proposal picks t2+d, then t1+d (ordering
+    preserved: both shift by d), displacement -d; the Hastings ratio is the
+    product of the nonzero-count, displacement-mass and count-cap
+    normalizer ratios, exactly as the single-move kernel.
+
+    Note the kernel conserves ``sum_t t*(events[:,t,1] - events[:,t,0])``
+    per location: it is not ergodic alone and composes with the plain
+    per-transition move kernels.
+
+    Returns:
+      (events, state, logp, EventMoveInfo) — ``delta_t`` traces d and
+      ``t`` traces t2 (the E->I source time).
+    """
+    M, T, X = events.shape
+    dtype = events.dtype
+    k_loc, k_t2, k_t1, k_d, k_x, k_acc = jax.random.split(key, 6)
+
+    locs = jax.random.choice(k_loc, M, (mmax,), replace=False)
+    counts_ei = events[locs, :, 1]  # [mmax, T]
+    counts_se = events[locs, :, 0]  # [mmax, T]
+    t2, n2 = _uniform_nonzero_time(k_t2, counts_ei)  # [mmax]
+    ts = jnp.arange(T)
+    se_before = counts_se * (ts[None, :] <= t2[:, None])
+    t1, n1 = _uniform_nonzero_time(k_t1, se_before)
+    has_pair = (n2 > 0) & (n1 > 0)
+
+    left = jnp.minimum(dmax, t1)
+    right = jnp.minimum(dmax, T - 1 - t2)
+    d, log_mass_d_fwd = _sample_two_sided_geometric(
+        k_d, left, right, move_decay
+    )
+
+    cnt1 = counts_se[jnp.arange(mmax), t1]
+    cnt2 = counts_ei[jnp.arange(mmax), t2]
+    cap_fwd = jnp.minimum(jnp.asarray(nmax, dtype), jnp.minimum(cnt1, cnt2))
+    x, log_mass_x_fwd = _sample_truncated_geometric(k_x, cap_fwd, x_decay)
+    x = x.astype(dtype)
+
+    active = has_pair & (left + right > 0)
+    x_eff = jnp.where(active, x, 0.0)
+    t1_dst = jnp.clip(t1 + d, 0, T - 1)
+    t2_dst = jnp.clip(t2 + d, 0, T - 1)
+
+    # Apply per-location pair moves sequentially; deltas telescope (each
+    # single-transition move is evaluated from the pre-move tensors).
+    ev_cur, st_cur = events, state
+    delta_total = jnp.zeros((), dtype)
+    for i in range(mmax):
+        for k_id, t_from, t_to in (
+            (0, t1[i], t1_dst[i]),
+            (1, t2[i], t2_dst[i]),
+        ):
+            delta_i = evaluator.move_delta(
+                ev_cur, st_cur, locs[i], t_from, t_to, x_eff[i], k_id
+            )
+            ev_cur, st_cur = apply_event_delta(
+                ev_cur, st_cur, locs[i], t_from, t_to, x_eff[i], k_id
+            )
+            delta_total = delta_total + delta_i
+
+    # Hastings: reverse picks t2+d from nonzero E->I times, then t1+d from
+    # nonzero S->E times <= t2+d, displacement -d (same |d| pmf factor,
+    # different normalizers), x from the new count caps.
+    counts_ei_new = ev_cur[locs, :, 1]
+    counts_se_new = ev_cur[locs, :, 0]
+    n2_new = jnp.sum(counts_ei_new > 0, axis=-1)
+    n1_new = jnp.sum(
+        (counts_se_new > 0) & (ts[None, :] <= t2_dst[:, None]), axis=-1
+    )
+    left_r = jnp.minimum(dmax, t1_dst)
+    right_r = jnp.minimum(dmax, T - 1 - t2_dst)
+    if move_decay == 1.0:
+        mass_rev = (left_r + right_r).astype(jnp.float32)
+    else:
+        mass_rev = (
+            1.0 - move_decay ** left_r.astype(jnp.float32)
+        ) + (1.0 - move_decay ** right_r.astype(jnp.float32))
+    log_mass_d_rev = jnp.log(jnp.maximum(mass_rev, 1e-30))
+    cnt1_new = counts_se_new[jnp.arange(mmax), t1_dst]
+    cnt2_new = counts_ei_new[jnp.arange(mmax), t2_dst]
+    cap_rev = jnp.minimum(
+        jnp.asarray(nmax, dtype), jnp.minimum(cnt1_new, cnt2_new)
+    )
+    log_q_fwd = (
+        -jnp.log(jnp.maximum(n2, 1))
+        - jnp.log(jnp.maximum(n1, 1))
+        - log_mass_x_fwd.astype(dtype)
+        - log_mass_d_fwd.astype(dtype)
+    )
+    log_q_rev = (
+        -jnp.log(jnp.maximum(n2_new, 1))
+        - jnp.log(jnp.maximum(n1_new, 1))
+        - _log_mass_geometric(cap_rev, x_decay).astype(dtype)
+        - log_mass_d_rev.astype(dtype)
+    )
+    hastings = jnp.sum(jnp.where(active, log_q_rev - log_q_fwd, 0.0))
     log_alpha = delta_total + hastings
 
     u = jax.random.uniform(k_acc, (), dtype)
     accepted = jnp.log(u) < log_alpha
-    # Revert-if-rejected: a full-tensor `where(accepted, new, old)` would
-    # copy the [M,T,X] events and [M,T,S] state every proposal (the
-    # dominant HBM traffic at scale); applying the inverse move with
-    # x=0-if-accepted touches only the same few cells/rows.
+    # Revert-if-rejected (see event_move_step).
     x_revert = jnp.where(accepted, 0.0, x_eff)
     for i in range(mmax):
-        ev_cur, st_cur = apply_event_delta(
-            ev_cur, st_cur, locs[i], t_dst_safe[i], t_src[i], x_revert[i],
-            target_id,
-        )
+        for k_id, t_from, t_to in (
+            (0, t1_dst[i], t1[i]),
+            (1, t2_dst[i], t2[i]),
+        ):
+            ev_cur, st_cur = apply_event_delta(
+                ev_cur, st_cur, locs[i], t_from, t_to, x_revert[i], k_id
+            )
     logp_out = current_logp + jnp.where(accepted, delta_total, 0.0)
     info = EventMoveInfo(
         is_accepted=accepted,
         target_log_prob=logp_out,
         m=locs.astype(dtype),
-        t=t_src.astype(dtype),
+        t=t2.astype(dtype),
         delta_t=d.astype(dtype),
         x_star=x_eff,
     )

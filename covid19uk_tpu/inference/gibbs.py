@@ -27,11 +27,14 @@ import jax.numpy as jnp
 from covid19uk_tpu.inference import hmc
 from covid19uk_tpu.inference.event_kernels import (
     EventMoveInfo,
+    compensated_move_step,
     event_move_step,
     occult_step,
+    pair_move_step,
 )
 from covid19uk_tpu.inference.likelihood import (
     WindowedEvaluator,
+    _rate_diff_no_lgamma,
     make_context,
 )
 from covid19uk_tpu.models import seir
@@ -52,13 +55,16 @@ class HMCTunables(NamedTuple):
 
 class StepTrace(NamedTuple):
     """Per-draw trace mirroring the reference's results layout
-    (``inference.py:245-282``): hmc/* plus four event-kernel blocks."""
+    (``inference.py:245-282``): hmc/* plus four event-kernel blocks, plus
+    the framework's compensated joint (gamma0, E->I) kernel."""
 
     hmc: hmc.HMCInfo
     move_se: EventMoveInfo
     move_ei: EventMoveInfo
     occult_se: EventMoveInfo
     occult_ei: EventMoveInfo
+    comp_ei: EventMoveInfo  # zeros when compensate_gamma0 is off
+    pair: EventMoveInfo  # zeros when num_pair_updates == 0
 
 
 class EventKernelConfig(NamedTuple):
@@ -72,6 +78,19 @@ class EventKernelConfig(NamedTuple):
     t_range: tuple = (0, 0)  # (T-21, T) — set by the driver
     move_decay: float = 0.9  # displacement-pmf decay; 1.0 = uniform
     x_decay: float = 0.9  # event-count-pmf decay; 1.0 = uniform
+    # Joint (gamma0, E->I events) ridge move (event_kernels.py
+    # compensated_move_step).  Measured neutral at NI scale — the binding
+    # move penalty is the E-sojourn term, not I->R (see pair moves) — so
+    # off by default; kept as a config option.
+    compensate_gamma0: bool = False
+    num_compensated_updates: int = 1
+    # Episode-translation pair moves (event_kernels.py pair_move_step):
+    # move an S->E event and a downstream E->I event together, preserving
+    # the E-sojourn structure — the measured fix for the slow infectious-
+    # person-time mode that throttles gamma0 ESS.  pair_mmax is separate
+    # from mmax: each pair proposal costs 2 windowed deltas per location.
+    num_pair_updates: int = 1
+    pair_mmax: int = 1
 
 
 def make_mcmc_step(
@@ -146,15 +165,25 @@ def make_mcmc_step(
 
         # --- position 1: MultiScan x N of Gibbs over 4 event kernels ----
         params = unpack_parameters(constrain_parameters(u_new), T, M)
-        ctx = make_context(model, params)
-        move_eval = WindowedEvaluator(ctx=ctx, window=move_window)
-        occ_eval = WindowedEvaluator(ctx=ctx, window=occult_window)
+        ctx0 = make_context(model, params)
+        dtype = state.u.dtype
 
         logp0 = hmc_info.target_log_prob  # logp(u_new, old events)
+        g0_init = u_new[3]  # gamma0 (identity bijection at index 3)
+
+        def potential(st):
+            # log infectious person-time: the gamma0 likelihood ridge is
+            # exp(gamma0) * PT ~ total removals (see compensated_move_step)
+            return jnp.log(jnp.maximum(jnp.sum(st[..., 2]), 1.0))
 
         def sweep(carry, k):
-            events, st, logp = carry
-            ka, kb, kc, kd = jax.random.split(k, 4)
+            events, st, logp, g0, rate_ir_t = carry
+            # gamma0 may have moved last iteration — refresh the context's
+            # I->R rates so every windowed delta sees the live value.
+            ctx = ctx0._replace(rate_ir_t=rate_ir_t)
+            move_eval = WindowedEvaluator(ctx=ctx, window=move_window)
+            occ_eval = WindowedEvaluator(ctx=ctx, window=occult_window)
+            ka, kb, kc, kd, ke, kf = jax.random.split(k, 6)
             events, st, logp, i_mse = event_move_step(
                 ka, events, st, logp, move_eval, 0,
                 cfg.dmax, cfg.mmax, cfg.nmax, cfg.move_decay, cfg.x_decay,
@@ -171,12 +200,78 @@ def make_mcmc_step(
                 kd, events, st, logp, occ_eval, 1,
                 cfg.t_range, cfg.occult_nmax, cfg.x_decay,
             )
-            return (events, st, logp), (i_mse, i_mei, i_ose, i_oei)
+            if cfg.num_pair_updates > 0:
+                for kp in jax.random.split(kf, cfg.num_pair_updates):
+                    events, st, logp, i_pair = pair_move_step(
+                        kp, events, st, logp, move_eval,
+                        cfg.dmax, cfg.pair_mmax, cfg.nmax, cfg.move_decay,
+                        cfg.x_decay,
+                    )
+            else:
+                i_pair = EventMoveInfo(
+                    is_accepted=jnp.zeros((), bool),
+                    target_log_prob=logp,
+                    m=jnp.zeros((cfg.pair_mmax,), dtype),
+                    t=jnp.zeros((cfg.pair_mmax,), dtype),
+                    delta_t=jnp.zeros((cfg.pair_mmax,), dtype),
+                    x_star=jnp.zeros((cfg.pair_mmax,), dtype),
+                )
+            if cfg.compensate_gamma0:
+                g0_before = g0  # rate_ir_t corresponds to this value
+                for kk in jax.random.split(ke, cfg.num_compensated_updates):
+                    # Rates must track the live g0 across repeats (both in
+                    # the windowed event delta's I->R terms and in the
+                    # gamma delta) — an accept mid-loop changes them.
+                    live_rate = rate_ir_t * jnp.exp(g0 - g0_before)
+                    cur_eval = WindowedEvaluator(
+                        ctx=ctx._replace(rate_ir_t=live_rate),
+                        window=move_window,
+                    )
+
+                    def gamma_delta(
+                        ev_new, st_new, g, g_new, live_rate=live_rate
+                    ):
+                        # All gamma0-dependent terms at the proposed
+                        # events: I->R likelihood is rate-only (lgammas
+                        # cancel) + N(0, 100) prior (model_spec.py:197).
+                        r_old = live_rate[None, :]
+                        r_new = r_old * jnp.exp(g_new - g)
+                        d_ir = jnp.sum(
+                            _rate_diff_no_lgamma(
+                                st_new[..., 2], ev_new[..., 2], r_old,
+                                r_new,
+                            )
+                        )
+                        d_prior = -0.5 * (g_new**2 - g**2) / 100.0**2
+                        return d_ir + d_prior
+
+                    events, st, logp, g0, i_cmp = compensated_move_step(
+                        kk, events, st, logp, cur_eval, g0, potential,
+                        gamma_delta, 1,
+                        cfg.dmax, cfg.mmax, cfg.nmax, cfg.move_decay,
+                        cfg.x_decay,
+                    )
+                rate_ir_t = rate_ir_t * jnp.exp(g0 - g0_before)
+            else:
+                i_cmp = EventMoveInfo(
+                    is_accepted=jnp.zeros((), bool),
+                    target_log_prob=logp,
+                    m=jnp.zeros((cfg.mmax,), dtype),
+                    t=jnp.zeros((cfg.mmax,), dtype),
+                    delta_t=jnp.zeros((cfg.mmax,), dtype),
+                    x_star=jnp.zeros((cfg.mmax,), dtype),
+                )
+            return (events, st, logp, g0, rate_ir_t), (
+                i_mse, i_mei, i_ose, i_oei, i_cmp, i_pair,
+            )
 
         scan_keys = jax.random.split(k_events, cfg.num_event_time_updates)
-        (events_new, _, _), infos = jax.lax.scan(
-            sweep, (state.events, full_state, logp0), scan_keys
+        (events_new, _, _, g0_new, _), infos = jax.lax.scan(
+            sweep,
+            (state.events, full_state, logp0, g0_init, ctx0.rate_ir_t),
+            scan_keys,
         )
+        u_new = u_new.at[3].set(g0_new)
         # MultiScanKernel returns the *last* scan's results
         # (SURVEY.md §2.9; gemlib.MultiScanKernel contract).
         last = jax.tree.map(lambda x: x[-1], infos)
@@ -187,6 +282,8 @@ def make_mcmc_step(
             move_ei=last[1],
             occult_se=last[2],
             occult_ei=last[3],
+            comp_ei=last[4],
+            pair=last[5],
         )
         return ChainState(u=u_new, events=events_new), trace
 

@@ -14,6 +14,8 @@ Layout (matches the reference so downstream tooling interoperates):
     results/hmc/{is_accepted, target_log_prob, step_size}
     results/{move/S->E, move/E->I, occult/S->E, occult/E->I}/
             {is_accepted, target_log_prob, proposed_delta}
+    results/move/{E->I_compensated, S->E+E->I_pair}/...   (framework
+            extensions — additive, reference groups unchanged)
     initial_state, time                       (root datasets)
 
 With ``num_chains > 1`` every dataset gains a chain axis at position 1.

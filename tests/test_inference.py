@@ -441,3 +441,298 @@ def test_make_mcmc_step_rejects_bad_t_range(rng):
     for bad in [(-1, T), (0, T + 1), (5, 5), (8, 4)]:
         with pytest.raises(ValueError, match="t_range"):
             make_mcmc_step(model, 4, EventKernelConfig(t_range=bad))
+
+
+# ------------------------------------- compensated (gamma, events) kernel
+
+
+def test_compensated_move_kernel_exact_stationarity():
+    """The joint (gamma, events) ridge move preserves an enumerable-events
+    x Gaussian-gamma target exactly.
+
+    Target: pi(g, e) = pi_e(e) * N(g; mu(e), sigma^2) with mu(e) the same
+    potential the kernel compensates along, so the event marginal is pi_e
+    regardless of g.  The compensated kernel conserves g + potential and is
+    not ergodic alone; compose with a random-walk MH on g.  Checks:
+    (1) event-marginal occupancy matches pi_e (TV), (2) the residual
+    g - mu(e) is N(0, sigma^2), (3) the threaded logp matches a full
+    recompute at the end (delta-accounting exactness).
+    """
+    from covid19uk_tpu.inference.event_kernels import compensated_move_step
+
+    T, total = 4, 3
+    sigma = 0.4
+    w = jnp.asarray(np.array([0.2, 1.0, -0.5, 0.7]), jnp.float64)
+    # mu(e) = 0.1 * sum_s c_s * (T-1-s)  == 0.1 * sum_t E_t (state tensor)
+    coef = 0.1 * jnp.asarray(np.arange(T - 1, -1, -1), jnp.float64)
+
+    def a_fn(events):
+        c = events[0, :, 0]
+        return jnp.sum(c * w) - 0.1 * jnp.sum(c**2)
+
+    def mu_fn(events):
+        return jnp.sum(events[0, :, 0] * coef)
+
+    def full_logp(g, events):
+        return a_fn(events) - 0.5 * ((g - mu_fn(events)) / sigma) ** 2
+
+    def potential(st):
+        # STOICH[0] = S->E: E_t = sum_s c_s [t > s]; matches mu_fn
+        return 0.1 * jnp.sum(st[0, :, 1])
+
+    def gamma_delta(ev_new, st_new, g, g_new):
+        mu = 0.1 * jnp.sum(st_new[0, :, 1])
+        return -0.5 * ((g_new - mu) ** 2 - (g - mu) ** 2) / sigma**2
+
+    states = list(_enumerate_compositions(total, T))
+    state_idx = {s: i for i, s in enumerate(states)}
+    logps = np.array(
+        [
+            float(
+                a_fn(
+                    jnp.zeros((1, T, 3), jnp.float64)
+                    .at[0, :, 0]
+                    .set(jnp.asarray(np.array(s), jnp.float64))
+                )
+            )
+            for s in states
+        ]
+    )
+    target = np.exp(logps - logps.max())
+    target /= target.sum()
+
+    init = jnp.zeros((1, T, 3), jnp.float64).at[0, :, 0].set(
+        jnp.asarray(np.array(states[0]), jnp.float64)
+    )
+    # consistent state: E_t = sum_{s<t} c_s (S gets the negative)
+    st0 = jnp.zeros((1, T, 4), jnp.float64)
+    c0 = np.array(states[0], float)
+    for t in range(T):
+        st0 = st0.at[0, t, 1].set(float((c0 * (t > np.arange(T))).sum()))
+        st0 = st0.at[0, t, 0].set(-float((c0 * (t > np.arange(T))).sum()))
+
+    g0 = jnp.asarray(float(mu_fn(init)), jnp.float64)
+    lp0 = full_logp(g0, init)
+
+    def body(carry, key):
+        ev, st, lp, g = carry
+        k1, k2, k3 = jax.random.split(key, 3)
+        evaluator = FullEvaluator(logp_fn=lambda e: full_logp(g, e))
+        ev, st, lp, g, _ = compensated_move_step(
+            k1, ev, st, lp, evaluator, g, potential, gamma_delta, 0,
+            dmax=3, mmax=1, nmax=2, move_decay=0.9, x_decay=0.8,
+        )
+        g_prop = g + 0.5 * jax.random.normal(k2, (), jnp.float64)
+        dlp = full_logp(g_prop, ev) - full_logp(g, ev)
+        acc = jnp.log(jax.random.uniform(k3, (), jnp.float64)) < dlp
+        g = jnp.where(acc, g_prop, g)
+        lp = jnp.where(acc, lp + dlp, lp)
+        return (ev, st, lp, g), (ev[0, :, 0], g)
+
+    n = 60000
+    keys = jax.random.split(jax.random.PRNGKey(21), n)
+    (ev_f, st_f, lp_f, g_f), (trace_e, trace_g) = jax.lax.scan(
+        body, (init, st0, lp0, g0), keys
+    )
+    # (3) delta accounting is exact
+    np.testing.assert_allclose(
+        float(lp_f), float(full_logp(g_f, ev_f)), rtol=1e-9, atol=1e-9
+    )
+    trace_e = np.asarray(trace_e[5000:]).astype(int)
+    trace_g = np.asarray(trace_g[5000:])
+
+    counts = np.zeros(len(states))
+    mus = trace_e @ np.asarray(coef).astype(float)
+    for row in trace_e:
+        counts[state_idx[tuple(row)]] += 1
+    freq = counts / counts.sum()
+    tv = 0.5 * np.abs(freq - target).sum()
+    assert tv < 0.03, (tv, freq, target)
+    # (2) residual is N(0, sigma^2)
+    resid = trace_g - mus
+    assert abs(resid.mean()) < 0.02, resid.mean()
+    np.testing.assert_allclose(resid.std(), sigma, rtol=0.05)
+
+
+def test_gibbs_step_compensated_logp_consistency(rng):
+    """The production Gibbs step with compensate_gamma0=True keeps the
+    threaded logp exactly consistent with a full recompute (exercises the
+    rate_ir context refresh, the u[3] write-back, and the windowed
+    I->R/gamma0 delta accounting end to end)."""
+    from covid19uk_tpu.inference.gibbs import (
+        ChainState, EventKernelConfig, HMCTunables, make_mcmc_step,
+    )
+    from covid19uk_tpu.models.spec import CovidUK, pack_parameters, unconstrain_parameters
+    from tests.test_spec import make_test_data, make_test_params
+
+    M, T = 5, 14
+    data = make_test_data(rng, M, T)
+    params = make_test_params(rng, M, T)
+    N = np.asarray(data.N)
+    init = np.stack(
+        [N - 60, np.full(M, 25.0), np.full(M, 35.0), np.zeros(M)], -1
+    )
+    model = CovidUK(data, jnp.asarray(init, jnp.float64), 0, T)
+    events = model.sample_seir(jax.random.PRNGKey(13), params)
+
+    u0 = unconstrain_parameters(pack_parameters(params))
+    state = ChainState(u=u0, events=events)
+    cfg = EventKernelConfig(
+        dmax=6, mmax=2, nmax=8, occult_nmax=4,
+        num_event_time_updates=3, t_range=(T - 7, T),
+        compensate_gamma0=True,
+        # >1 exercises the live-rate refresh across repeated proposals
+        num_compensated_updates=2,
+    )
+    step = make_mcmc_step(model, 4, cfg)
+    tune = HMCTunables(
+        step_size=jnp.asarray(0.001, jnp.float64),
+        inv_mass_diag=jnp.ones_like(u0),
+    )
+
+    def body(carry, key):
+        st = carry
+        st, trace = step(key, st, tune)
+        return st, (trace.comp_ei.is_accepted, trace.comp_ei.target_log_prob)
+
+    keys = jax.random.split(jax.random.PRNGKey(14), 120)
+    final, (acc, lps) = jax.lax.scan(body, state, keys)
+
+    # the compensated kernel must actually move
+    assert np.asarray(acc).mean() > 0.02
+    # gamma0 must have moved from its initial value
+    assert abs(float(final.u[3] - u0[3])) > 1e-6
+    # threaded logp after the last sweep == full joint at the final state
+    lp_recomputed = model.joint_log_prob_unconstrained(
+        final.u, final.events
+    )
+    np.testing.assert_allclose(
+        float(lps[-1]), float(lp_recomputed), rtol=1e-8, atol=1e-6
+    )
+
+
+# ------------------------------------------------ pair-move (episode) kernel
+
+
+@pytest.mark.parametrize("move_decay,x_decay", [(0.9, 0.8), (1.0, 1.0)])
+def test_pair_move_kernel_exact_stationarity(move_decay, x_decay):
+    """The (S->E, E->I) episode-translation kernel preserves an enumerable
+    target exactly — composed with the plain single-transition moves for
+    ergodicity (pair moves conserve sum_t t*(c1 - c0) on their own).
+
+    M=1, T=4, 2 events of each type => 10 x 10 = 100 states.
+    """
+    from covid19uk_tpu.inference.event_kernels import pair_move_step
+
+    T, tot0, tot1 = 4, 2, 2
+    w0 = jnp.asarray(np.array([0.3, 0.9, -0.4, 0.5]), jnp.float64)
+    w1 = jnp.asarray(np.array([-0.2, 0.6, 0.8, -0.3]), jnp.float64)
+
+    def logp_fn(events):
+        c0, c1 = events[0, :, 0], events[0, :, 1]
+        return (
+            jnp.sum(c0 * w0) + jnp.sum(c1 * w1)
+            - 0.1 * jnp.sum(c0**2) - 0.12 * jnp.sum(c1**2)
+            + 0.05 * jnp.sum(c0 * c1)
+        )
+
+    s0 = list(_enumerate_compositions(tot0, T))
+    s1 = list(_enumerate_compositions(tot1, T))
+    states = [(a, b) for a in s0 for b in s1]
+    idx = {s: i for i, s in enumerate(states)}
+
+    def mk(a, b):
+        ev = jnp.zeros((1, T, 3), jnp.float64)
+        ev = ev.at[0, :, 0].set(jnp.asarray(np.array(a), jnp.float64))
+        ev = ev.at[0, :, 1].set(jnp.asarray(np.array(b), jnp.float64))
+        return ev
+
+    logps = np.array([float(logp_fn(mk(a, b))) for a, b in states])
+    target = np.exp(logps - logps.max())
+    target /= target.sum()
+
+    init = mk(*states[0])
+    ev = FullEvaluator(logp_fn=logp_fn)
+    st0 = jnp.zeros((1, T, 4), jnp.float64)
+
+    def body(carry, key):
+        events, st, lp = carry
+        k1, k2, k3 = jax.random.split(key, 3)
+        events, st, lp, _ = pair_move_step(
+            k1, events, st, lp, ev, dmax=3, mmax=1, nmax=2,
+            move_decay=move_decay, x_decay=x_decay,
+        )
+        events, st, lp, _ = event_move_step(
+            k2, events, st, lp, ev, 0, dmax=3, mmax=1, nmax=2,
+            move_decay=move_decay, x_decay=x_decay,
+        )
+        events, st, lp, _ = event_move_step(
+            k3, events, st, lp, ev, 1, dmax=3, mmax=1, nmax=2,
+            move_decay=move_decay, x_decay=x_decay,
+        )
+        return (events, st, lp), (events[0, :, 0], events[0, :, 1])
+
+    n = 80000
+    keys = jax.random.split(jax.random.PRNGKey(31), n)
+    (ev_f, _, lp_f), (tr0, tr1) = jax.lax.scan(
+        body, (init, st0, logp_fn(init)), keys
+    )
+    # delta accounting is exact
+    np.testing.assert_allclose(
+        float(lp_f), float(logp_fn(ev_f)), rtol=1e-9, atol=1e-9
+    )
+    tr0 = np.asarray(tr0[8000:]).astype(int)
+    tr1 = np.asarray(tr1[8000:]).astype(int)
+
+    counts = np.zeros(len(states))
+    for a, b in zip(tr0, tr1):
+        counts[idx[(tuple(a), tuple(b))]] += 1
+    freq = counts / counts.sum()
+    tv = 0.5 * np.abs(freq - target).sum()
+    assert tv < 0.04, (tv,)
+
+
+def test_pair_move_conserves_totals_on_real_model(rng):
+    """Pair moves on the real model: per-type totals conserved, I->R
+    untouched, state stays valid, threaded logp stays consistent."""
+    from covid19uk_tpu.inference.event_kernels import pair_move_step
+    from covid19uk_tpu.models import seir
+    from covid19uk_tpu.models.spec import CovidUK
+    from tests.test_spec import make_test_data, make_test_params
+
+    M, T = 5, 12
+    data = make_test_data(rng, M, T)
+    params = make_test_params(rng, M, T)
+    N = np.asarray(data.N)
+    init = np.stack(
+        [N - 50, np.full(M, 20.0), np.full(M, 30.0), np.zeros(M)], -1
+    )
+    model = CovidUK(data, jnp.asarray(init, jnp.float64), 0, T)
+    events = model.sample_seir(jax.random.PRNGKey(15), params)
+
+    logp_fn = lambda ev: model.log_prob(params, ev)
+    logp = logp_fn(events)
+    fe = FullEvaluator(logp_fn=logp_fn)
+    st0 = seir.compute_state(model.initial_state, events)
+
+    def body(carry, key):
+        ev, st, lp = carry
+        ev, st, lp, info = pair_move_step(key, ev, st, lp, fe, 5, 2, 10)
+        return (ev, st, lp), info.is_accepted
+
+    keys = jax.random.split(jax.random.PRNGKey(16), 300)
+    (ev_out, st_out, lp_out), acc = jax.lax.scan(
+        body, (events, st0, logp), keys
+    )
+
+    ev0, ev1 = np.asarray(events), np.asarray(ev_out)
+    np.testing.assert_array_equal(ev0[..., 2], ev1[..., 2])
+    np.testing.assert_allclose(ev0[..., 0].sum(), ev1[..., 0].sum())
+    np.testing.assert_allclose(ev0[..., 1].sum(), ev1[..., 1].sum())
+    state = np.asarray(seir.compute_state(model.initial_state, ev_out))
+    assert state.min() >= 0
+    np.testing.assert_allclose(np.asarray(st_out), state, rtol=1e-12)
+    np.testing.assert_allclose(
+        float(lp_out), float(logp_fn(ev_out)), rtol=1e-9
+    )
+    assert np.asarray(acc).mean() > 0.02  # the kernel moves

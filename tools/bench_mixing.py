@@ -23,7 +23,7 @@ sys.path.insert(0, ".")
 
 
 def run(scale, C, sweeps, mmax, move_decay, x_decay, n_draws, warm=300,
-        leapfrog=16, seed=0):
+        leapfrog=16, seed=0, compensate=True, comp_updates=1, pair_updates=1, pair_mmax=1):
     import jax
     import jax.numpy as jnp
 
@@ -49,6 +49,9 @@ def run(scale, C, sweeps, mmax, move_decay, x_decay, n_draws, warm=300,
         dmax=84, mmax=mmax, nmax=25, occult_nmax=15,
         num_event_time_updates=sweeps, t_range=(T - 21, T),
         move_decay=move_decay, x_decay=x_decay,
+        compensate_gamma0=compensate,
+        num_compensated_updates=comp_updates,
+        num_pair_updates=pair_updates, pair_mmax=pair_mmax,
     )
     step = make_mcmc_step(model, leapfrog, cfg)
 
@@ -100,6 +103,8 @@ def run(scale, C, sweeps, mmax, move_decay, x_decay, n_draws, warm=300,
         "move_ei": float(np.asarray(traces.move_ei.is_accepted).mean()),
         "occ_se": float(np.asarray(traces.occult_se.is_accepted).mean()),
         "occ_ei": float(np.asarray(traces.occult_ei.is_accepted).mean()),
+        "comp_ei": float(np.asarray(traces.comp_ei.is_accepted).mean()),
+        "pair": float(np.asarray(traces.pair.is_accepted).mean()),
     }
     return ess, acc, wall
 
@@ -113,16 +118,27 @@ def main():
     ap.add_argument("--move-decay", type=float, default=0.9)
     ap.add_argument("--x-decay", type=float, default=0.9)
     ap.add_argument("--draws", type=int, default=500)
+    ap.add_argument("--warm", type=int, default=300)
     ap.add_argument("--leapfrog", type=int, default=16)
+    ap.add_argument("--comp-updates", type=int, default=1)
+    ap.add_argument("--pair-updates", type=int, default=1)
+    ap.add_argument("--pair-mmax", type=int, default=1)
+    ap.add_argument("--no-comp", action="store_true",
+                    help="disable the compensated (gamma0, E->I) kernel")
     args = ap.parse_args()
 
     ess, acc, wall = run(
         args.scale, args.chains, args.sweeps, args.mmax,
-        args.move_decay, args.x_decay, args.draws, leapfrog=args.leapfrog,
+        args.move_decay, args.x_decay, args.draws, warm=args.warm,
+        leapfrog=args.leapfrog,
+        compensate=not args.no_comp, comp_updates=args.comp_updates,
+        pair_updates=args.pair_updates, pair_mmax=args.pair_mmax,
     )
     min_ess = min(ess.values())
     argmin = min(ess, key=ess.get)
     print(f"config: scale={args.scale} sweeps={args.sweeps} "
+          f"comp={not args.no_comp}x{args.comp_updates} "
+          f"pair={args.pair_updates} "
           f"mmax={args.mmax} move_decay={args.move_decay} "
           f"x_decay={args.x_decay} leapfrog={args.leapfrog}")
     print("ESS:", {k: round(v, 1) for k, v in ess.items()})
