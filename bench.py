@@ -17,10 +17,13 @@ target >= 50x CPU**.  This benchmark:
    ``ESS-per-draw x naive CPU steps/sec``.  The constant below is measured
    by ``tools/measure_cpu_baseline.py`` and is re-derivable at any commit
    because the naive implementation is vendored and never optimized.
-   ESS-per-draw is taken from THIS run, which includes the compensated
-   (gamma0, E->I) ridge kernel the reference never had — that *overstates*
-   the CPU chain's achievable ESS-per-draw, so ``vs_baseline`` is a
-   conservative lower bound on the true speedup.
+   The timed phase runs the reference's exact 4-kernel proposal stack
+   (pair moves run during the untimed warmup only, mirroring the
+   production driver's phase split), so the naive chain's ESS-per-draw
+   equals this run's by construction and the comparison is exact.
+   Setting BENCH_PAIR=1 adds pair moves to the timed phase too; the
+   comparison then becomes a conservative lower bound (the CPU chain
+   could not achieve that ESS-per-draw).
 
 Prints exactly one JSON line:
   {"metric": "ess_per_sec_fulluk", "value": N, "unit": "min-ESS/sec",
@@ -79,15 +82,22 @@ def build(nchains, dtype_name="float32"):
 
     import os
 
+    # Production phase split (driver.run_mcmc): pair moves equilibrate
+    # during warmup, sampling bursts run the reference 4-kernel stack.
+    # BENCH_PAIR=1 forces pairs in the timed phase too (A/B knob).
     cfg = EventKernelConfig(
         dmax=84, mmax=2, nmax=25, occult_nmax=15,
         num_event_time_updates=5, t_range=(T - 21, T),
-        # A/B knob for the episode-translation pair kernel (default: the
-        # production default).  BENCH_PAIR=0 disables.
-        num_pair_updates=int(os.environ.get("BENCH_PAIR", "1")),
+        num_pair_updates=1,
     )
-    step = make_mcmc_step(model, 16, cfg)
-    return model, step, state
+    step_warm = make_mcmc_step(model, 16, cfg)
+    step_sample = make_mcmc_step(
+        model, 16,
+        cfg._replace(
+            num_pair_updates=int(os.environ.get("BENCH_PAIR", "0"))
+        ),
+    )
+    return model, step_warm, step_sample, state
 
 
 def main():
@@ -101,7 +111,7 @@ def main():
     from covid19uk_tpu.models.spec import constrain_parameters
 
     C = NCHAINS
-    model, step, state = build(C)
+    model, step_warm, step_sample, state = build(C)
     dtype = state.u.dtype
     P = state.u.shape[-1]
 
@@ -113,7 +123,7 @@ def main():
                 step_size=dual_averaging.step_size(da),
                 inv_mass_diag=inv_mass,
             )
-            state, trace = step(k, state, tune, model)
+            state, trace = step_warm(k, state, tune, model)
             accept = jnp.exp(jnp.minimum(trace.hmc.log_accept_ratio, 0.0))
             accept = jnp.where(jnp.isfinite(accept), accept, 0.0)
             da = dual_averaging.update(da, accept)
@@ -140,7 +150,7 @@ def main():
         tune = HMCTunables(step_size=step_size, inv_mass_diag=inv_mass)
 
         def body(state, k):
-            state, _ = step(k, state, tune, model)
+            state, _ = step_sample(k, state, tune, model)
             return state, state.u
 
         keys = jax.random.split(key, N_DRAWS)

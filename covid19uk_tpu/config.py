@@ -34,7 +34,11 @@ class McmcConfig:
     # Episode-translation pair moves (S->E and downstream E->I moved
     # together): the measured fix for the slow infectious-person-time
     # mode that throttles gamma0 ESS (gibbs.EventKernelConfig).
-    num_pair_updates: int = 1
+    num_pair_updates: int = 1  # pair proposals per sweep, WARMUP windows
+    # Pair proposals during sampling bursts: ESS-neutral per draw at
+    # equilibrium but ~30% wall at full-UK scale, so off by default
+    # (the warmup phase does the equilibrating).
+    num_pair_updates_sampling: int = 0
     pair_mmax: int = 1  # locations per pair proposal
     # Joint (gamma0, E->I events) ridge move: measured neutral at NI
     # scale (the binding penalty is the E-sojourn term, not I->R);
@@ -76,13 +80,12 @@ class McmcConfig:
             v = getattr(self, name)
             if not isinstance(v, int) or v < 1:
                 raise ValueError(f"Mcmc.{name} must be a positive int, got {v!r}")
-        if not isinstance(self.num_pair_updates, int) or (
-            self.num_pair_updates < 0
-        ):
-            raise ValueError(
-                "Mcmc.num_pair_updates must be a non-negative int, "
-                f"got {self.num_pair_updates!r}"
-            )
+        for name in ("num_pair_updates", "num_pair_updates_sampling"):
+            v = getattr(self, name)
+            if not isinstance(v, int) or v < 0:
+                raise ValueError(
+                    f"Mcmc.{name} must be a non-negative int, got {v!r}"
+                )
         for name in ("move_decay", "x_decay"):
             v = getattr(self, name)
             if not (0.0 < v <= 1.0):

@@ -187,7 +187,20 @@ def run_mcmc(
     T, M = model.num_steps, model.data.num_locations
     P = initial_chain_state.u.shape[-1]
 
+    # Phase-split kernel stacks: the episode-translation pair moves exist
+    # to equilibrate the slow infectious-person-time mode, which is a
+    # *warmup* concern — at equilibrium they are ESS-neutral per draw and
+    # cost ~30% wall at full-UK scale (README 'Benchmarks').  Warmup
+    # windows run with the configured num_pair_updates; sampling bursts
+    # run with num_pair_updates_sampling (default 0).  Both stacks leave
+    # the same distribution invariant, so mixing phases is exact.
     step = make_mcmc_step(model, NUM_LEAPFROG_STEPS, event_config)
+    sampling_pairs = getattr(config, "num_pair_updates_sampling", 0)
+    step_sample = make_mcmc_step(
+        model,
+        NUM_LEAPFROG_STEPS,
+        event_config._replace(num_pair_updates=sampling_pairs),
+    )
 
     # Replicate the single-chain init over the chain axis.
     state = jax.tree.map(
@@ -455,7 +468,7 @@ def run_mcmc(
     _log("Sampling...")
     burst = jax.jit(
         jax.vmap(
-            make_fixed_runner(step, config.num_burst_samples),
+            make_fixed_runner(step_sample, config.num_burst_samples),
             in_axes=(0, 0, 0, 0, None),
         )
     )

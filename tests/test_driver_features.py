@@ -164,3 +164,43 @@ def test_convergence_gate_stops_early_and_truncates(tmp_path, rng):
     events = [json.loads(l) for l in open(log_hard)]
     gates = [e for e in events if e["event"] == "gate"]
     assert len(gates) == 3 and all(not g["converged"] for g in gates)
+
+
+def test_pair_kernel_phase_split(tmp_path, rng):
+    """Warmup windows run the pair kernel; sampling bursts do not (the
+    default num_pair_updates_sampling=0) — visible in the results trace:
+    pair proposals have x_star == 0 for every burst draw, and the warmup
+    phase actually proposed (nonzero x_star somewhere)."""
+    import h5py
+
+    from covid19uk_tpu.inference.driver import mcmc
+
+    path = str(tmp_path / "data.h5")
+    out = str(tmp_path / "post.h5")
+    make_synthetic_datafile(path, rng, M=3, T0=25)
+    mcmc(path, out, _cfg())
+
+    warm_total = 6 + 4 + 4
+    with h5py.File(out, "r") as f:
+        pd = f["results/move/S->E+E->I_pair/proposed_delta"][:]
+        # layout [draw, 4 fields, pair_mmax]; field 3 is x_star
+        x_star = pd[:, 3, :]
+        assert (x_star[warm_total:] == 0).all()
+        assert (x_star[:warm_total] != 0).any()
+
+
+def test_pair_kernel_sampling_opt_in(tmp_path, rng):
+    """num_pair_updates_sampling=1 keeps pair moves on during bursts."""
+    import h5py
+
+    from covid19uk_tpu.inference.driver import mcmc
+
+    path = str(tmp_path / "data.h5")
+    out = str(tmp_path / "post.h5")
+    make_synthetic_datafile(path, rng, M=3, T0=25)
+    mcmc(path, out, _cfg(num_pair_updates_sampling=1))
+
+    warm_total = 6 + 4 + 4
+    with h5py.File(out, "r") as f:
+        x_star = f["results/move/S->E+E->I_pair/proposed_delta"][:, 3, :]
+        assert (x_star[warm_total:] != 0).any()

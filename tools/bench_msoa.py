@@ -14,7 +14,8 @@ import numpy as np
 sys.path.insert(0, ".")
 
 
-def main(M=7000, T=120, chains=1, mode="sparse", radius_frac=0.05):
+def main(M=7000, T=120, chains=1, mode="sparse", radius_frac=0.05,
+         pair_updates=1):
     import jax
     import jax.numpy as jnp
 
@@ -37,6 +38,7 @@ def main(M=7000, T=120, chains=1, mode="sparse", radius_frac=0.05):
     cfg = EventKernelConfig(
         dmax=84, mmax=2, nmax=25, occult_nmax=15,
         num_event_time_updates=5, t_range=(T - 21, T),
+        num_pair_updates=pair_updates,
     )
     step = make_mcmc_step(model, 16, cfg)
 
@@ -87,4 +89,5 @@ if __name__ == "__main__":
         int(a[2]) if len(a) > 2 else 1,
         a[3] if len(a) > 3 else "sparse",
         float(a[4]) if len(a) > 4 else 0.05,
+        int(a[5]) if len(a) > 5 else 1,
     )
