@@ -76,8 +76,12 @@ class LikelihoodContext(NamedTuple):
     psi_w: jnp.ndarray  # [T] = psi * w_t
     rate_ir_t: jnp.ndarray  # [T]
     nu: jnp.ndarray  # scalar
-    Cstar: jnp.ndarray  # [M, M]
+    Cstar: jnp.ndarray  # [M, M] dense (row/column gathers)
     N: jnp.ndarray  # [M]
+    # Optional block-sparse operator for the full [M,M]@[M,W] commute
+    # products (the dominant matmul of the E->I windowed delta at MSOA
+    # scale); the dense Cstar stays for the rank-1 row/column gathers.
+    Cstar_bsr: object = None
 
 
 def make_context(model: CovidUK, params: Parameters) -> LikelihoodContext:
@@ -100,6 +104,7 @@ def make_context(model: CovidUK, params: Parameters) -> LikelihoodContext:
         nu=jnp.asarray(seir.NU, dtype),
         Cstar=d.Cstar,
         N=d.N,
+        Cstar_bsr=d.Cstar_bsr,
     )
 
 
@@ -192,7 +197,10 @@ class WindowedEvaluator(NamedTuple):
         I_old = tsl(state[..., 2], 1)  # [M, W]
         dI_row = x * w_p * jnp.asarray(_STOICH[1][2], dtype)  # [W]
         I_new = I_old.at[loc].add(dI_row)
-        commute_old = ctx.Cstar @ (I_old / ctx.N[:, None])
+        if ctx.Cstar_bsr is not None:
+            commute_old = ctx.Cstar_bsr.matmul(I_old / ctx.N[:, None])
+        else:
+            commute_old = ctx.Cstar @ (I_old / ctx.N[:, None])
         dI = dI_row / ctx.N[loc]  # rank-1: only loc changed
         commute_new = commute_old + ctx.Cstar[:, loc][:, None] * dI[None, :]
         pref = tsl(ctx.exp_eta, 1) / ctx.N[:, None]

@@ -141,3 +141,43 @@ def test_sparse_mcmc_step_runs():
     )
     assert np.isfinite(float(trace.hmc.target_log_prob))
     assert np.all(np.isfinite(np.asarray(new_state.u)))
+
+
+def test_windowed_evaluator_uses_bsr_and_matches_dense():
+    """The E->I windowed delta routes its commute matmul through the
+    block-sparse operator when present and agrees with the dense path."""
+    from covid19uk_tpu.inference.likelihood import (
+        WindowedEvaluator, make_context,
+    )
+    from covid19uk_tpu.models import seir
+    from covid19uk_tpu.models.spec import (
+        constrain_parameters, unpack_parameters,
+    )
+    from covid19uk_tpu.utils.synthetic import (
+        build_synthetic_model, initial_chain_state,
+    )
+
+    M, T = 150, 12
+    dense = build_synthetic_model(M, T, jnp.float32, sparse=False)
+    sparse = build_synthetic_model(M, T, jnp.float32, sparse=True)
+    state = initial_chain_state(dense)
+    params = unpack_parameters(constrain_parameters(state.u), T, M)
+    full_state = seir.compute_state(dense.initial_state, state.events)
+
+    ctx_d = make_context(dense, params)
+    ctx_s = make_context(sparse, params)
+    assert ctx_s.Cstar_bsr is not None and ctx_d.Cstar_bsr is None
+    ev_d = WindowedEvaluator(ctx=ctx_d, window=6)
+    ev_s = WindowedEvaluator(ctx=ctx_s, window=6)
+
+    # an E->I move at a location with events
+    evn = np.asarray(state.events)
+    locs, ts = np.nonzero(evn[:, :, 1] > 0)
+    loc, t_from = int(locs[0]), int(ts[0])
+    t_to = min(t_from + 2, T - 1)
+    d_dense = float(ev_d.move_delta(
+        state.events, full_state, loc, t_from, t_to, 1.0, 1))
+    d_sparse = float(ev_s.move_delta(
+        state.events, full_state, loc, t_from, t_to, 1.0, 1))
+    assert np.isfinite(d_dense)
+    np.testing.assert_allclose(d_sparse, d_dense, rtol=1e-4, atol=1e-4)
