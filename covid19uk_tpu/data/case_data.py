@@ -70,21 +70,34 @@ class CasesData:
 
     @staticmethod
     def adapt_gov_api(df, date_low, date_high, areacodes):
-        """Reindexes the API frame to [location, time] with 0-fill
-        (reference case_data.py:135-154)."""
-        df = df.rename(
-            columns={"areaCode": "location", "newCasesBySpecimenDate": "cases"}
-        )
-        df = df[["location", "date", "cases"]].copy()
-        df["date"] = pd.to_datetime(df["date"])
-        df["location"] = merge_lad_codes(df["location"])
-        df = df[df["location"].isin(areacodes)]
-        df = df.groupby(["location", "date"]).agg({"cases": "sum"})
-        df = df.sort_index()
+        """Tabulates the API frame onto the full [location, time] grid.
 
+        Same contract as the reference's reindex recipe
+        (case_data.py:135-154): LAD codes merged, duplicates summed,
+        missing (location, date) cells 0-filled, ``[date_low, date_high)``
+        half-open — expressed here as a location x date pivot re-stacked
+        into the series layout the ETL writes.
+        """
         dates = pd.date_range(date_low, date_high, inclusive="left")
-        multi_index = pd.MultiIndex.from_product([areacodes, dates])
-        ser = df["cases"].reindex(multi_index, fill_value=0.0)
+        cases = pd.DataFrame(
+            {
+                "location": merge_lad_codes(df["areaCode"]),
+                "date": pd.to_datetime(df["date"]),
+                "cases": df["newCasesBySpecimenDate"].astype(float),
+            }
+        )
+        table = (
+            cases[cases["location"].isin(areacodes)]
+            .pivot_table(
+                index="location",
+                columns="date",
+                values="cases",
+                aggfunc="sum",
+                fill_value=0.0,
+            )
+            .reindex(index=list(areacodes), columns=dates, fill_value=0.0)
+        )
+        ser = table.stack()
         ser.index.names = ["location", "time"]
         ser.name = "cases"
         return ser

@@ -74,12 +74,12 @@ def read_traffic_flow(path, date_low, date_high):
         commute_raw = pd.read_csv(path, index_col="Date")
         commute_raw = commute_raw[["Cars"]]
     commute_raw.index = pd.to_datetime(commute_raw.index, format="%Y-%m-%d")
-    commute_raw.sort_index(axis=0, inplace=True)
-    commute = pd.DataFrame(index=dates)
-    commute = commute.merge(
-        commute_raw, left_index=True, right_index=True, how="left"
-    )
-    commute[commute.index < commute_raw.index[0]] = commute_raw.iloc[0, 0]
-    commute[commute.index > commute_raw.index[-1]] = commute_raw.iloc[-1, 0]
-    flow = commute["Cars"].to_numpy(np.float64) / 100.0
-    return flow, dates
+    series = commute_raw["Cars"].sort_index()
+    # Align onto the requested daily grid: dates the spreadsheet covers map
+    # directly; dates before/after its span clamp to the first/last
+    # observation (dates *inside* the span but absent stay NaN, matching
+    # the reference's left-merge behavior, loaders.py:75-91).
+    flow = np.array(series.reindex(dates).to_numpy(), np.float64)
+    flow[dates < series.index[0].to_datetime64()] = float(series.iloc[0])
+    flow[dates > series.index[-1].to_datetime64()] = float(series.iloc[-1])
+    return flow / 100.0, dates

@@ -29,7 +29,10 @@ from typing import NamedTuple
 import jax
 import jax.numpy as jnp
 
-from covid19uk_tpu.inference.likelihood import apply_event_delta
+from covid19uk_tpu.inference.likelihood import (
+    apply_event_delta,
+    apply_event_deltas,
+)
 
 
 class EventMoveInfo(NamedTuple):
@@ -203,24 +206,19 @@ def _propose_moves(
         ) + (1.0 - move_decay ** right_r.astype(jnp.float32))
     log_mass_rev = jnp.log(jnp.maximum(mass_rev, 1e-30))
 
-    # Apply per-location moves sequentially (rows are disjoint — the
-    # proposal factorizes — but E->I moves couple all rows through the
-    # infection rate, so deltas telescope exactly).  Each delta is
-    # evaluated from the pre-move tensors (the evaluator reconstructs the
-    # tiny changed window internally), so the subsequent full-tensor update
-    # sees its operand dead and XLA updates in place.
-    ev_cur, st_cur = events, state
-    delta_total = jnp.zeros((), dtype)
-    for i in range(mmax):
-        delta_i = evaluator.move_delta(
-            ev_cur, st_cur, locs[i], t_src[i], t_dst_safe[i], x_eff[i],
-            target_id,
-        )
-        ev_cur, st_cur = apply_event_delta(
-            ev_cur, st_cur, locs[i], t_src[i], t_dst_safe[i], x_eff[i],
-            target_id,
-        )
-        delta_total = delta_total + delta_i
+    # Joint evaluation: all mmax locations' deltas in ONE windowed eval
+    # (rows are disjoint; E->I moves couple rows through the infection
+    # rate, which the evaluator handles as a rank-mmax commute update) and
+    # ONE batched scatter — instead of mmax serial eval+apply rounds,
+    # which made the event sweep launch-bound at UK scale.  The delta is
+    # evaluated from the pre-move tensors, so the update sees its operand
+    # dead and XLA performs it in place.
+    delta_total = evaluator.joint_move_delta(
+        events, state, locs, t_src, t_dst_safe, x_eff, target_id
+    )
+    ev_cur, st_cur = apply_event_deltas(
+        events, state, locs, t_src, t_dst_safe, x_eff, target_id
+    )
 
     # Hastings correction (only for active locations; null moves cancel).
     counts_new = ev_cur[locs, :, target_id]
@@ -251,7 +249,7 @@ def _propose_moves(
     )
 
 
-def _revert_if_rejected(prop: _MoveProposal, accepted, target_id, mmax):
+def _revert_if_rejected(prop: _MoveProposal, accepted, target_id):
     """Applies the inverse moves when rejected.
 
     A full-tensor ``where(accepted, new, old)`` would copy the [M,T,X]
@@ -260,13 +258,10 @@ def _revert_if_rejected(prop: _MoveProposal, accepted, target_id, mmax):
     same few cells/rows.
     """
     x_revert = jnp.where(accepted, 0.0, prop.x_eff)
-    ev_cur, st_cur = prop.events, prop.state
-    for i in range(mmax):
-        ev_cur, st_cur = apply_event_delta(
-            ev_cur, st_cur, prop.locs[i], prop.t_dst[i], prop.t_src[i],
-            x_revert[i], target_id,
-        )
-    return ev_cur, st_cur
+    return apply_event_deltas(
+        prop.events, prop.state, prop.locs, prop.t_dst, prop.t_src,
+        x_revert, target_id,
+    )
 
 
 def event_move_step(
@@ -300,7 +295,7 @@ def event_move_step(
 
     u = jax.random.uniform(k_acc, (), dtype)
     accepted = jnp.log(u) < log_alpha
-    ev_cur, st_cur = _revert_if_rejected(prop, accepted, target_id, mmax)
+    ev_cur, st_cur = _revert_if_rejected(prop, accepted, target_id)
     logp_out = current_logp + jnp.where(accepted, prop.delta_lp, 0.0)
     info = EventMoveInfo(
         is_accepted=accepted,
@@ -382,7 +377,7 @@ def compensated_move_step(
 
     u = jax.random.uniform(k_acc, (), dtype)
     accepted = jnp.log(u) < log_alpha
-    ev_cur, st_cur = _revert_if_rejected(prop, accepted, target_id, mmax)
+    ev_cur, st_cur = _revert_if_rejected(prop, accepted, target_id)
     gamma_out = jnp.where(accepted, gamma_new, gamma)
     logp_out = current_logp + jnp.where(accepted, delta_total, 0.0)
     info = EventMoveInfo(
@@ -619,10 +614,15 @@ def occult_step(
     )
     hastings = jnp.where(is_add, log_h_add, log_h_del)
 
+    # A delete drawn on an empty cell is a *null* proposal: nothing changes
+    # and it must NOT count as accepted (gemlib semantics — otherwise the
+    # printed acceptance rates are inflated against the ~23% target,
+    # doc/lancs_space_model_concept.tex:325-326).  The chain transition is
+    # identical either way (x = 0 applies the identity).
     is_null = ~is_add & ~can_delete
-    log_alpha = jnp.where(is_null, 0.0, delta_lp + hastings)
+    log_alpha = delta_lp + hastings
     u = jax.random.uniform(k_acc, (), dtype)
-    accepted = jnp.log(u) < log_alpha
+    accepted = ~is_null & (jnp.log(u) < log_alpha)
     # Revert-if-rejected (see event_move_step): avoid full-tensor selects.
     revert_x = jnp.where(accepted, 0.0, -delta_x)
     events_out, state_out = apply_event_delta(

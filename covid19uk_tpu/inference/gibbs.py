@@ -126,7 +126,6 @@ def make_mcmc_step(
     occult_window = T - cfg.t_range[0]
     closed_model = model
 
-    from covid19uk_tpu.ops.binomial import binomial_log_pmf_from_rate
     from covid19uk_tpu.models.spec import constrain_log_det_jacobian
 
     def step(key, state: ChainState, tune: HMCTunables, model=None):
@@ -137,20 +136,20 @@ def make_mcmc_step(
         # fixed — compute it ONCE here instead of inside every leapfrog
         # gradient (XLA does not hoist the cumsum out of the scan; measured
         # 3x on the bare gradient at full-UK scale).  Ditto the commuting
-        # matvec Cstar @ (I/N): parameter-independent, so hoisting it
-        # removes the [M,M]@[M,T] matmul from every leapfrog gradient.
+        # matvec Cstar @ (I/N) and — via reduced_loglik_fn — every
+        # parameter-independent piece of the likelihood (lgammas, the whole
+        # constant-rate E->I term, the I->R location reduction), leaving
+        # each leapfrog gradient one [M, T] rate term.
         full_state = seir.compute_state(model.initial_state, state.events)
-        n_src = full_state[..., seir.SOURCE_STATES]
         commute = model.commute_pressure(full_state[..., 2])
+        loglik = model.reduced_loglik_fn(state.events, full_state, commute)
 
         def logdensity(u):
             params = unpack_parameters(constrain_parameters(u), T, M)
-            rates = model.transition_rates(params, full_state, commute)
-            ll = jnp.sum(
-                binomial_log_pmf_from_rate(n_src, state.events, rates)
-            )
             return (
-                model.log_prior(params) + ll + constrain_log_det_jacobian(u)
+                model.log_prior(params)
+                + loglik(params)
+                + constrain_log_det_jacobian(u)
             )
 
         # --- position 0: HMC on params | events -------------------------

@@ -41,6 +41,25 @@ from covid19uk_tpu.ops.binomial import binomial_log_pmf_from_rate
 _STOICH = seir.STOICHIOMETRY
 
 
+def apply_event_deltas(events, state, locs, t_from, t_to, xs, k):
+    """Applies L moves of transition ``k`` (distinct rows) in ONE batched
+    scatter — the joint-apply counterpart of :func:`apply_event_delta`
+    (the per-location loop costs L serial scatter launches)."""
+    T = events.shape[-2]
+    dtype = events.dtype
+    stoich_k = jnp.asarray(_STOICH[k], dtype)
+    ev = events.at[locs, t_to, k].add(xs)
+    ev = ev.at[locs, t_from, k].add(-xs)
+    ts = jnp.arange(T)
+    w = (ts[None, :] > t_to[:, None]).astype(dtype) - (
+        ts[None, :] > t_from[:, None]
+    ).astype(dtype)  # [L, T]
+    st = state.at[locs].add(
+        xs[:, None, None] * w[:, :, None] * stoich_k[None, None, :]
+    )
+    return ev, st
+
+
 def apply_event_delta(events, state, loc, t_from, t_to, x, k, occult=False):
     """Applies an event perturbation to (events, state) consistently.
 
@@ -231,6 +250,124 @@ class WindowedEvaluator(NamedTuple):
             events, state, loc, s, k, t_from, t_to, x, occult=False
         )
 
+    def joint_move_delta(self, events, state, locs, t_from, t_to, xs, k):
+        """Exact total delta for applying ALL L moves at once (one eval).
+
+        ``locs [L]`` must be distinct (the kernels sample without
+        replacement); all tensors are the *pre-move* ones.  Equals the
+        telescoped sum of serial :meth:`move_delta` + apply — but in one
+        launch instead of L serial windowed evals (the event sweep was
+        launch-bound: ~30 tiny serial evals per draw at UK scale).
+
+        k == 0: rows are disjoint and no rate changes — the joint delta is
+        the sum of independent per-row deltas (vmapped :meth:`move_delta`).
+
+        k == 1: the L moves jointly perturb I, so the all-location
+        rate-only cells get a rank-L commute update over the union of the
+        L windows; overlapping window columns are counted once (the cell
+        delta is evaluated with the JOINT I change, so a single count is
+        exact).  The per-row E->I / I->R terms stay disjoint.
+        """
+        T = events.shape[-2]
+        W = self.window
+        dtype = events.dtype
+        ctx = self.ctx
+        s = jnp.clip(jnp.minimum(t_from, t_to), 0, T - W)  # [L]
+
+        if k == 0:
+            f = lambda loc, t_f, t_d, x: self.move_delta(
+                events, state, loc, t_f, t_d, x, 0
+            )
+            return jnp.sum(jax.vmap(f)(locs, t_from, t_to, xs))
+
+        L = locs.shape[0]
+        M = events.shape[0]
+        p = s[:, None] + jnp.arange(W)[None, :]  # [i=L, W] window columns
+
+        # --- all-location rate-only cells over the L windows -------------
+        # w_cross[j, i, :]: move j's state-change indicator at window i's
+        # columns; the joint dI at any column is the sum over j.
+        w_cross = (p[None, :, :] > t_to[:, None, None]).astype(dtype) - (
+            p[None, :, :] > t_from[:, None, None]
+        ).astype(dtype)  # [j, i, W]
+        add = xs[:, None, None] * w_cross  # [j, i, W] raw I deltas
+
+        def wslice(a, si):  # [M, T] -> [M, W]
+            return jax.lax.dynamic_slice_in_dim(a, si, W, axis=1)
+
+        I_old = jnp.moveaxis(
+            jax.vmap(lambda si: wslice(state[..., 2], si))(s), 0, 1
+        )  # [M, L, W]
+        I_new = I_old.at[locs].add(add)
+        if ctx.Cstar_bsr is not None:
+            commute_old = ctx.Cstar_bsr.matmul(
+                (I_old / ctx.N[:, None, None]).reshape(M, L * W)
+            ).reshape(M, L, W)
+        else:
+            commute_old = (
+                ctx.Cstar @ (I_old / ctx.N[:, None, None]).reshape(M, L * W)
+            ).reshape(M, L, W)
+        commute_new = commute_old + jnp.einsum(
+            "mj,jiw->miw",
+            ctx.Cstar[:, locs],
+            add / ctx.N[locs][:, None, None],
+        )
+        pref = (
+            jnp.moveaxis(jax.vmap(lambda si: wslice(ctx.exp_eta, si))(s), 0, 1)
+            / ctx.N[:, None, None]
+        )  # [M, L, W]
+        pw = jax.vmap(
+            lambda si: jax.lax.dynamic_slice_in_dim(ctx.psi_w, si, W)
+        )(s)  # [L, W]
+        r_old = pref * (I_old + pw[None] * commute_old) + RATE_EPS
+        r_new = pref * (I_new + pw[None] * commute_new) + RATE_EPS
+        S_w = jnp.moveaxis(
+            jax.vmap(lambda si: wslice(state[..., 0], si))(s), 0, 1
+        )
+        y0_w = jnp.moveaxis(
+            jax.vmap(lambda si: wslice(events[..., 0], si))(s), 0, 1
+        )
+        cells = _rate_diff_no_lgamma(S_w, y0_w, r_old, r_new)  # [M, L, W]
+        # count-once mask: window i's column is dropped if it also lies in
+        # an earlier window j < i (that copy already carries the joint dI)
+        in_win = (p[None, :, :] >= s[:, None, None]) & (
+            p[None, :, :] < (s + W)[:, None, None]
+        )  # [j, i, W]
+        earlier = jnp.arange(L)[:, None] > jnp.arange(L)[None, :]  # i > j
+        dup = jnp.any(in_win & earlier.T[:, :, None], axis=0)  # [i, W]
+        delta = jnp.sum(cells * (~dup).astype(dtype)[None])
+
+        # --- per-row E->I / I->R terms (disjoint rows) --------------------
+        stoich_k = jnp.asarray(_STOICH[1], dtype)
+
+        def row_term(loc, si, t_f, t_d, x):
+            row_old = jax.lax.dynamic_slice(
+                state[loc], (si, 0), (W, state.shape[-1])
+            )
+            evrow_old = jax.lax.dynamic_slice(
+                events[loc], (si, 0), (W, events.shape[-1])
+            )
+            pp = si + jnp.arange(W)
+            w_pp = (pp > t_d).astype(dtype) - (pp > t_f).astype(dtype)
+            row_new = row_old + x * w_pp[:, None] * stoich_k[None, :]
+            ev_d = jnp.where(pp == t_d, x, 0.0) - jnp.where(pp == t_f, x, 0.0)
+            evrow_new = evrow_old.at[:, 1].add(ev_d)
+            rate_ir = jax.lax.dynamic_slice_in_dim(ctx.rate_ir_t, si, W)
+            lp_old = binomial_log_pmf_from_rate(
+                row_old[:, 1], evrow_old[:, 1], ctx.nu
+            ) + binomial_log_pmf_from_rate(
+                row_old[:, 2], evrow_old[:, 2], rate_ir
+            )
+            lp_new = binomial_log_pmf_from_rate(
+                row_new[:, 1], evrow_new[:, 1], ctx.nu
+            ) + binomial_log_pmf_from_rate(
+                row_new[:, 2], evrow_new[:, 2], rate_ir
+            )
+            return jnp.sum(lp_new - lp_old)
+
+        delta += jnp.sum(jax.vmap(row_term)(locs, s, t_from, t_to, xs))
+        return delta
+
     def occult_delta(self, events, state, loc, t, x_signed, k):
         """Delta log-lik for adding/deleting ``|x_signed|`` occult events of
         transition k at (loc, t) — evaluated from the pre-update tensors.
@@ -256,6 +393,12 @@ class FullEvaluator(NamedTuple):
     def move_delta(self, events, state, loc, t_from, t_to, x, k):
         events_new, _ = apply_event_delta(
             events, state, loc, t_from, t_to, x, k
+        )
+        return self.logp_fn(events_new) - self.logp_fn(events)
+
+    def joint_move_delta(self, events, state, locs, t_from, t_to, xs, k):
+        events_new, _ = apply_event_deltas(
+            events, state, locs, t_from, t_to, xs, k
         )
         return self.logp_fn(events_new) - self.logp_fn(events)
 

@@ -368,6 +368,93 @@ class CovidUK:
         )
         return jnp.stack([rate_se, rate_ei, rate_ir], axis=-1)
 
+    def reduced_loglik_fn(self, events, state, commute):
+        """Chain-binomial log-likelihood for FIXED events, restructured so
+        the returned ``params -> scalar`` closure touches only the
+        parameter-dependent terms.
+
+        The likelihood cell is ``logC(n, y) + y log p(r) - (n - y) r`` with
+        ``p(r) = 1 - exp(-r)``.  With the events (and hence the state) held
+        fixed — exactly the HMC leapfrog situation, 17 evaluations per
+        transition (reference ``inference.py:537-557``) — three algebraic
+        reductions apply:
+
+        * every ``logC(n, y)`` (the lgamma terms) is a constant — hoisted
+          into ``const`` once;
+        * the E->I rate is the fixed scalar ``NU``, so that *entire* term
+          is constant;
+        * the I->R rate depends on t only (``exp(gamma0 + gamma1 wd_t)``),
+          so its location sum collapses to two precomputed ``[T]``
+          reductions.
+
+        What remains per evaluation is the S->E term over ``[M, T]`` (plus
+        a ``[T]`` I->R term), with ``exp(eta)`` factored into an
+        ``exp[M] x exp[T]`` outer product (M+T transcendentals instead of
+        M*T).  Identical value/gradient to summing
+        :func:`covid19uk_tpu.ops.binomial.binomial_log_pmf_from_rate` over
+        the full rate tensor (tested to fp tolerance).
+
+        Args:
+          events: ``[M, T, X]`` fixed event tensor.
+          state: ``[M, T, S]`` its state timeseries (compute_state).
+          commute: :meth:`commute_pressure` of ``state[..., 2]``.
+
+        Returns:
+          ``loglik(params) -> scalar`` closure.
+        """
+        from covid19uk_tpu.ops.binomial import log_choose
+
+        d = self.data
+        dtype = events.dtype
+        T = self.num_steps
+        tiny = jnp.finfo(dtype).tiny
+        nu = jnp.asarray(seir.NU, dtype)
+
+        n = state[..., seir.SOURCE_STATES]  # [M, T, 3]
+        y = events
+        valid = (y >= 0.0) & (y <= n) & (n >= 0.0)
+        lc = jnp.where(
+            valid,
+            log_choose(jnp.where(valid, n, 1.0), jnp.where(valid, y, 0.0)),
+            -jnp.inf,
+        )
+        log_p_nu = jnp.log(-jnp.expm1(-nu))
+        const = (
+            jnp.sum(lc)
+            + jnp.sum(y[..., 1]) * log_p_nu
+            - jnp.sum(n[..., 1] - y[..., 1]) * nu
+        )
+        sy2 = jnp.sum(y[..., 2], axis=0)  # [T]
+        sn2 = jnp.sum(n[..., 2] - y[..., 2], axis=0)  # [T]
+
+        S_, y0 = n[..., 0], y[..., 0]
+        infectious = state[..., 2]
+        t_abs = self.initial_step + jnp.arange(T)
+        w_t = d.W[jnp.clip(t_abs, 0, d.W.shape[0] - 1)]
+        weekday_t = d.weekday[jnp.clip(t_abs, 0, d.weekday.shape[0] - 1)]
+
+        def loglik(params: Parameters):
+            alpha = _alpha_timeseries(params.alpha_0, params.alpha_t, t_abs)
+            e_t = jnp.exp(alpha)  # [T]
+            e_m = jnp.exp(
+                params.beta_area * d.log_area
+                + params.sigma_space * params.spatial_effect
+            ) / d.N  # [M]
+            pressure = infectious + params.psi * w_t[None, :] * commute
+            r_se = jnp.maximum(
+                e_m[:, None] * e_t[None, :] * pressure + RATE_EPS, tiny
+            )
+            se = jnp.sum(
+                y0 * jnp.log(-jnp.expm1(-r_se)) - (S_ - y0) * r_se
+            )
+            r_ir = jnp.maximum(
+                jnp.exp(params.gamma0 + params.gamma1 * weekday_t), tiny
+            )
+            ir = jnp.sum(sy2 * jnp.log(-jnp.expm1(-r_ir)) - sn2 * r_ir)
+            return const + se + ir
+
+        return loglik
+
     def transition_rate_fn(self, params: Parameters):
         """Single-step rate function ``(t, state[M,S]) -> [M, X]``.
 

@@ -57,7 +57,7 @@ def _matmul_kernel(cidx_ref, vals_ref, x_ref, o_ref):
 
 
 def _strip_kernel(cidx_ref, vals_ref, x_hbm_ref, o_ref, xbuf, sem):
-    """Grid ([S,] R): one step per block ROW, K gathered products inside.
+    """Grid (R[, S]): one step per block ROW, K gathered products inside.
 
     The (R, K) variant above pays one grid-step launch (~0.8 us measured)
     per 128x128x128 product — launch-bound at production shapes.  Here each
@@ -65,13 +65,18 @@ def _strip_kernel(cidx_ref, vals_ref, x_hbm_ref, o_ref, xbuf, sem):
     by explicit double-buffered async DMA (indices from the scalar-
     prefetched ``col_idx`` in SMEM), overlapping the MXU products.
 
-    With a leading batch grid axis (vmapped chains), ``x`` is ``[S, RB, Tp]``
-    in HBM and the DMA source gains the batch index; values are shared.
+    With a trailing batch grid axis (vmapped chains), ``x`` is
+    ``[S, RB, Tp]`` in HBM and the DMA source gains the batch index.  The
+    batch axis is the MINOR grid axis so the row's value strip keeps the
+    same block index across consecutive steps — the pipeline skips the
+    re-copy and the A-block HBM traffic is paid once per row, not once per
+    (row, chain) (this was why batched BSR lost to dense: x-gather traffic
+    scales with nnzb x S either way, but value traffic must not).
     """
     # program_id must be read at kernel top level: inside a pl.when branch
     # it escapes the interpreter's grid substitution.
-    i = pl.program_id(x_hbm_ref.ndim - 2)  # row-grid axis (last)
-    s = pl.program_id(0) if x_hbm_ref.ndim == 3 else None
+    i = pl.program_id(0)  # row-grid axis (major)
+    s = pl.program_id(1) if x_hbm_ref.ndim == 3 else None
     K = vals_ref.shape[1]
     B = o_ref.shape[-2]
 
@@ -119,11 +124,11 @@ def _bsr_apply(values, col_idx, xp):
     if strip_bytes <= _STRIP_VMEM_LIMIT:
         if batched:
             S = xp.shape[0]
-            grid = (S, R)
+            grid = (R, S)  # batch minor: value strip stationary per row
             vals_spec = pl.BlockSpec(
-                (1, K, B, B), lambda s, i, c: (i, 0, 0, 0)
+                (1, K, B, B), lambda i, s, c: (i, 0, 0, 0)
             )
-            out_spec = pl.BlockSpec((1, B, Tp), lambda s, i, c: (s, i, 0))
+            out_spec = pl.BlockSpec((1, B, Tp), lambda i, s, c: (s, i, 0))
         else:
             grid = (R,)
             vals_spec = pl.BlockSpec((1, K, B, B), lambda i, c: (i, 0, 0, 0))
@@ -145,13 +150,13 @@ def _bsr_apply(values, col_idx, xp):
     else:
         if batched:
             S = xp.shape[0]
-            grid = (S, R, K)
+            grid = (R, S, K)
             in_specs = [
-                pl.BlockSpec((1, 1, B, B), lambda s, i, j, c: (i, j, 0, 0)),
-                pl.BlockSpec((1, B, Tp), lambda s, i, j, c: (s, c[i, j], 0)),
+                pl.BlockSpec((1, 1, B, B), lambda i, s, j, c: (i, j, 0, 0)),
+                pl.BlockSpec((1, B, Tp), lambda i, s, j, c: (s, c[i, j], 0)),
             ]
             out_spec = pl.BlockSpec(
-                (1, B, Tp), lambda s, i, j, c: (s, i, 0)
+                (1, B, Tp), lambda i, s, j, c: (s, i, 0)
             )
 
             def kernel(cidx_ref, vals_ref, x_ref, o_ref):

@@ -112,6 +112,22 @@ def test_read_traffic_flow_none_gives_ones():
     assert dates[0] == np.datetime64("2021-01-01")
 
 
+def test_read_traffic_flow_csv_clamps_span(tmp_path):
+    """Dates outside the observed span clamp to the first/last observation;
+    missing dates inside the span stay NaN (reference loaders.py:75-91)."""
+    csv = tmp_path / "flow.csv"
+    pd.DataFrame(
+        {"Date": ["2021-01-03", "2021-01-05"], "Cars": [80.0, 120.0]}
+    ).to_csv(csv, index=False)
+    flow, dates = read_traffic_flow(
+        str(csv), np.datetime64("2021-01-01"), np.datetime64("2021-01-08")
+    )
+    assert flow.shape == (7,)
+    np.testing.assert_allclose(flow[:3], 0.8)  # clamped + observed
+    assert np.isnan(flow[3])  # in-span gap stays NaN
+    np.testing.assert_allclose(flow[4:], 1.2)  # observed + clamped
+
+
 @needs_ref
 def test_assemble_ni_example(tmp_path, rng):
     """Full offline assembly of the NI example; output consumable by mcmc."""

@@ -263,6 +263,30 @@ def test_occult_kernel_exact_stationarity(x_decay):
     assert tv < 0.03, (tv, freq.round(3), target.round(3))
 
 
+def test_occult_null_delete_not_accepted():
+    """A delete proposal drawn on an empty cell is a null move and must be
+    traced as NOT accepted (gemlib semantics — otherwise acceptance-rate
+    summaries are inflated by construction)."""
+    T = 4
+    # target forbids any events: adds are rejected by density, so every
+    # delete is a delete-on-empty null
+    logp_fn = lambda ev: jnp.where(jnp.sum(ev) > 0, -jnp.inf, 0.0)
+    ev = FullEvaluator(logp_fn=logp_fn)
+    init = jnp.zeros((1, T, 3), jnp.float64)
+    st0 = jnp.zeros((1, T, 4), jnp.float64)
+
+    def body(carry, key):
+        events, st, logp = carry
+        events, st, logp, info = occult_step(
+            key, events, st, logp, ev, 0, t_range=(0, T), nmax=3
+        )
+        return (events, st, logp), info.is_accepted
+
+    keys = jax.random.split(jax.random.PRNGKey(11), 400)
+    (_, _, _), accepted = jax.lax.scan(body, (init, st0, 0.0), keys)
+    assert not np.asarray(accepted).any()
+
+
 def test_event_move_conserves_totals_and_validity(rng):
     """On the real model: moves conserve per-type totals, never touch I->R,
     and the state never goes negative."""
@@ -373,6 +397,55 @@ def test_windowed_evaluator_matches_full(rng):
     )
     # some of each kernel type must have accepted for this to be a real test
     assert np.asarray(acc_f).mean(0).min() > 0.01
+
+
+def test_joint_move_delta_matches_serial_telescoped(rng):
+    """The one-shot joint windowed delta over mmax locations must equal the
+    telescoped sum of serial per-location deltas (each evaluated from the
+    partially-updated tensors) — including overlapping windows and E->I
+    rate coupling."""
+    from covid19uk_tpu.inference.likelihood import apply_event_delta
+    from covid19uk_tpu.models.spec import CovidUK
+    from covid19uk_tpu.models import seir
+    from tests.test_spec import make_test_data, make_test_params
+
+    M, T, W = 7, 20, 6
+    data = make_test_data(rng, M, T)
+    params = make_test_params(rng, M, T)
+    N = np.asarray(data.N)
+    init = np.stack(
+        [N - 60, np.full(M, 25.0), np.full(M, 35.0), np.zeros(M)], -1
+    )
+    model = CovidUK(data, jnp.asarray(init, jnp.float64), 0, T)
+    events = model.sample_seir(jax.random.PRNGKey(21), params)
+    state = seir.compute_state(model.initial_state, events)
+    we = WindowedEvaluator(ctx=make_context(model, params), window=W)
+
+    cases = [
+        # (locs, t_from, t_to, xs) — overlapping and disjoint windows
+        ([0, 3], [4, 5], [8, 2], [2.0, 1.0]),
+        ([2, 6], [3, 15], [6, 12], [1.0, 3.0]),
+        ([1, 4, 5], [10, 11, 9], [13, 8, 12], [2.0, 0.0, 1.0]),
+    ]
+    for k in (0, 1):
+        for locs, t_f, t_d, xs in cases:
+            locs_a = jnp.asarray(locs)
+            tf_a, td_a = jnp.asarray(t_f), jnp.asarray(t_d)
+            xs_a = jnp.asarray(xs, jnp.float64)
+            joint = float(
+                we.joint_move_delta(events, state, locs_a, tf_a, td_a, xs_a, k)
+            )
+            ev_c, st_c, serial = events, state, 0.0
+            for i in range(len(locs)):
+                serial += float(
+                    we.move_delta(
+                        ev_c, st_c, locs_a[i], tf_a[i], td_a[i], xs_a[i], k
+                    )
+                )
+                ev_c, st_c = apply_event_delta(
+                    ev_c, st_c, locs_a[i], tf_a[i], td_a[i], xs_a[i], k
+                )
+            np.testing.assert_allclose(joint, serial, rtol=1e-9, atol=1e-9)
 
 
 def test_occult_windowed_matches_full_interior_t_range(rng):

@@ -178,6 +178,54 @@ def test_joint_log_prob_finite_and_differentiable(rng):
     assert np.isfinite(float(model.joint_log_prob_unconstrained(u0, events)))
 
 
+def test_reduced_loglik_matches_full(rng):
+    """The constant-hoisted leapfrog likelihood (reduced_loglik_fn) must
+    equal summing binomial_log_pmf_from_rate over the full rate tensor —
+    value and parameter gradient."""
+    from covid19uk_tpu.ops.binomial import binomial_log_pmf_from_rate
+
+    M, T = 6, 14
+    data = make_test_data(rng, M, T)
+    params = make_test_params(rng, M, T)
+    N = np.asarray(data.N)
+    init = np.stack(
+        [N - 50, np.full(M, 20.0), np.full(M, 30.0), np.zeros(M)], axis=-1
+    )
+    model = CovidUK(data, jnp.asarray(init, jnp.float64), 0, T)
+    events = model.sample_seir(jax.random.PRNGKey(4), params)
+    state = seir.compute_state(model.initial_state, events)
+    commute = model.commute_pressure(state[..., 2])
+    n_src = state[..., seir.SOURCE_STATES]
+
+    flat = pack_parameters(params)
+
+    def full(flat):
+        p = unpack_parameters(flat, T, M)
+        rates = model.transition_rates(p, state, commute)
+        return jnp.sum(binomial_log_pmf_from_rate(n_src, events, rates))
+
+    reduced_fn = model.reduced_loglik_fn(events, state, commute)
+    reduced = lambda flat: reduced_fn(unpack_parameters(flat, T, M))
+
+    np.testing.assert_allclose(
+        float(reduced(flat)), float(full(flat)), rtol=1e-10
+    )
+    np.testing.assert_allclose(
+        np.asarray(jax.grad(reduced)(flat)),
+        np.asarray(jax.grad(full)(flat)),
+        rtol=1e-8,
+        atol=1e-10,
+    )
+
+    # an invalid event tensor (y > n) must still be -inf
+    bad = events.at[0, 0, 0].add(1e6)
+    bad_state = seir.compute_state(model.initial_state, bad)
+    bad_fn = model.reduced_loglik_fn(
+        bad, bad_state, model.commute_pressure(bad_state[..., 2])
+    )
+    assert float(bad_fn(params)) == -np.inf
+
+
 def test_float32_log_prob_close_to_float64(rng):
     """float32 TPU path must track the float64 CPU path to ~1e-3 relative."""
     M, T = 8, 20

@@ -78,17 +78,21 @@ def main(M=7000, T=120, radius_frac=0.05):
     print(f"pallas bsr:   {ts * 1e3:8.3f} ms")
     print(f"speedup: {td / ts:.2f}x")
 
-    # batched (vmapped-chains) variant: one launch, batch grid axis
-    CC = 8
-    xb = jnp.asarray(rng.normal(size=(CC, M, T)), jnp.float32)
+    # batched (vmapped-chains) variants: one launch, trailing batch grid
+    # axis with the value strip stationary per row (A-traffic paid once)
     f_dense_b = jax.jit(lambda a, x: jnp.einsum("ij,cjt->cit", a, x))
-    f_sparse_b = jax.jit(jax.vmap(lambda bs, x: bs.matmul(x), in_axes=(None, 0)))
-    tdb = timeit(f_dense_b, dense, xb)
-    tsb = timeit(f_sparse_b, bs, xb)
-    print(
-        f"batched C={CC}: dense {tdb * 1e3:.3f} ms, "
-        f"bsr {tsb * 1e3:.3f} ms, speedup {tdb / tsb:.2f}x"
+    f_sparse_b = jax.jit(
+        jax.vmap(lambda bs, x: bs.matmul(x), in_axes=(None, 0))
     )
+    print(f"{'C':>4} {'dense ms':>10} {'bsr ms':>10} {'speedup':>8}")
+    for CC in (1, 8, 64):
+        xb = jnp.asarray(rng.normal(size=(CC, M, T)), jnp.float32)
+        tdb = timeit(f_dense_b, dense, xb)
+        tsb = timeit(f_sparse_b, bs, xb)
+        print(
+            f"{CC:>4} {tdb * 1e3:>10.3f} {tsb * 1e3:>10.3f} "
+            f"{tdb / tsb:>7.2f}x"
+        )
 
 
 if __name__ == "__main__":

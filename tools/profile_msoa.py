@@ -70,7 +70,6 @@ def main(M=7000, T=120, radius_frac=0.05):
     from covid19uk_tpu.models.spec import (
         constrain_log_det_jacobian, constrain_parameters, unpack_parameters,
     )
-    from covid19uk_tpu.ops.binomial import binomial_log_pmf_from_rate
     from covid19uk_tpu.utils.synthetic import initial_chain_state
 
     t0 = time.time()
@@ -128,21 +127,21 @@ def main(M=7000, T=120, radius_frac=0.05):
     t_comm = timeit(f_comm, model, full_state)
     print(f"commute matvec:   {t_comm * 1e3:8.2f} ms", flush=True)
 
-    # HMC only (hoisted logdensity, as in gibbs.step)
+    # HMC only (hoisted commute + reduced likelihood, as in gibbs.step)
     def hmc_only(m, k, s):
         fs = seir.compute_state(m.initial_state, s.events)
-        n_src = fs[..., seir.SOURCE_STATES]
         commute = m.commute_pressure(fs[..., 2])
+        loglik = m.reduced_loglik_fn(s.events, fs, commute)
 
         def logdensity(u):
             params = unpack_parameters(
                 constrain_parameters(u), T, M
             )
-            rates = m.transition_rates(params, fs, commute)
-            ll = jnp.sum(
-                binomial_log_pmf_from_rate(n_src, s.events, rates)
+            return (
+                m.log_prior(params)
+                + loglik(params)
+                + constrain_log_det_jacobian(u)
             )
-            return m.log_prior(params) + ll + constrain_log_det_jacobian(u)
 
         u_new, info = hmc.hmc_step(
             k, s.u, logdensity, tune.step_size, 16, tune.inv_mass_diag
