@@ -61,6 +61,9 @@ class McmcConfig:
     # enabled criterion is met.  None disables a criterion.
     rhat_stop: Optional[float] = None  # stop when max split R-hat < this
     ess_stop: Optional[int] = None  # stop when min bulk ESS >= this
+    # Block-sparse operators for Cstar / the CAR precision: "auto"
+    # (size/density gate in ModelData.create), "always", or "never".
+    sparse: str = "auto"
     dtype: str = "float32"
     seed: int = 1
     checkpoint: Optional[str] = None
@@ -99,6 +102,10 @@ class McmcConfig:
         ):
             raise ValueError(
                 f"Mcmc.ess_stop must be a positive int, got {self.ess_stop!r}"
+            )
+        if self.sparse not in ("auto", "always", "never"):
+            raise ValueError(
+                f"Mcmc.sparse must be auto/always/never, got {self.sparse!r}"
             )
         if self.dtype not in ("float32", "float64"):
             raise ValueError(

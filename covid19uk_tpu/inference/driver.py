@@ -240,14 +240,40 @@ def run_mcmc(
                     f"space_devices={space}"
                 )
             mesh = chain_space_mesh(n_dev, space=space)
-            # The Pallas block-sparse operators are single-device programs
-            # (no SPMD partitioning rule): under space sharding XLA
-            # partitions the *dense* matmul instead, with Cstar
-            # column-sharded so the commute product is a local matmul +
-            # psum over `space`.
+
+            # The Pallas block-sparse operators carry a custom_partitioning
+            # rule (ops/pallas/block_sparse.py): sharding their block-row
+            # axis over `space` runs each device's row band locally with x
+            # all-gathered, so space sharding KEEPS the sparse path.  If
+            # the row count doesn't divide, the operator stays replicated
+            # (correct, just not model-parallel).  The dense Cstar remains
+            # column-sharded for the evaluator's row/column gathers and
+            # the dense fallback.
+            def shard_bsr(bsr):
+                if bsr is None:
+                    return None
+                if bsr.col_idx.shape[0] % space != 0:
+                    return bsr
+                return type(bsr)(
+                    jax.device_put(
+                        bsr.values,
+                        NamedSharding(
+                            mesh, PartitionSpec("space", None, None, None)
+                        ),
+                    ),
+                    jax.device_put(
+                        bsr.col_idx,
+                        NamedSharding(mesh, PartitionSpec("space", None)),
+                    ),
+                    bsr.n,
+                    bsr.perm,
+                    bsr.inv_perm,
+                )
+
             data = model.data._replace(
-                Cstar_bsr=None,
-                car_prec_bsr=None,
+                Cstar_bsr=shard_bsr(model.data.Cstar_bsr),
+                # car_band (CAR prior) stays replicated: its batched small
+                # matmuls are ~MFLOP-scale — not worth partitioning
                 Cstar=jax.device_put(
                     model.data.Cstar,
                     NamedSharding(mesh, PartitionSpec(None, "space")),
@@ -294,9 +320,18 @@ def run_mcmc(
     resuming = checkpoint_path is not None and ckpt.exists(checkpoint_path)
 
     # ---- posterior store (preallocate via shape templates) --------------
-    num_samples = (
-        schedule.total + config.num_burst_samples * config.num_bursts
-    )
+    # Sampling-phase draws are stored every `thin`-th (warmup windows are
+    # written in full); the reference carries the same Mcmc knob
+    # (example_config.yaml:32).  Long runs (50k+ draws) would otherwise
+    # write hundreds of GB of event tensors.
+    thin = config.thin
+    if config.num_burst_samples % thin != 0:
+        raise ValueError(
+            f"num_burst_samples={config.num_burst_samples} must be a "
+            f"multiple of thin={thin}"
+        )
+    stored_per_burst = config.num_burst_samples // thin
+    num_samples = schedule.total + stored_per_burst * config.num_bursts
     chain_shape = () if squeeze else (C,)
     np_dtype = np.float64 if dtype == jnp.float64 else np.float32
     sample_template = draws_to_dict(
@@ -522,10 +557,17 @@ def run_mcmc(
                 config.num_burst_samples * C / max(time.time() - t0, 1e-9), 2
             ),
         )
-        pending_write = executor.submit(write_at, draws, traces, offset)
-        offset += (
-            config.num_burst_samples
-        )
+        if thin > 1:
+            # keep draws thin-1, 2*thin-1, ... (stride convention matches
+            # posterior/thin.py); draws/traces are chain-major [C, n, ...]
+            draws_w = jax.tree.map(lambda x: x[:, thin - 1 :: thin], draws)
+            traces_w = jax.tree.map(
+                lambda x: np.asarray(x)[:, thin - 1 :: thin], traces
+            )
+        else:
+            draws_w, traces_w = draws, traces
+        pending_write = executor.submit(write_at, draws_w, traces_w, offset)
+        offset += stored_per_burst
         pending_ckpt = dict(
             state=state,
             key=key,
@@ -661,7 +703,10 @@ def mcmc(data_file, output_file, config):
     # keep_C=False: the raw directed flow matrix is only used by the
     # within/between CLI (which builds its own ModelData); skipping it
     # saves an [M, M] device transfer at MSOA scale.
-    data = ModelData.create(constant_data.variables, dtype, keep_C=False)
+    sparse = {"auto": "auto", "always": True, "never": False}[config.sparse]
+    data = ModelData.create(
+        constant_data.variables, dtype, sparse=sparse, keep_C=False
+    )
     model = CovidUK(
         data=data,
         initial_state=jnp.asarray(initial_state, dtype),

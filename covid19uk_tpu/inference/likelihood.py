@@ -42,22 +42,17 @@ _STOICH = seir.STOICHIOMETRY
 
 
 def apply_event_deltas(events, state, locs, t_from, t_to, xs, k):
-    """Applies L moves of transition ``k`` (distinct rows) in ONE batched
-    scatter — the joint-apply counterpart of :func:`apply_event_delta`
-    (the per-location loop costs L serial scatter launches)."""
-    T = events.shape[-2]
-    dtype = events.dtype
-    stoich_k = jnp.asarray(_STOICH[k], dtype)
-    ev = events.at[locs, t_to, k].add(xs)
-    ev = ev.at[locs, t_from, k].add(-xs)
-    ts = jnp.arange(T)
-    w = (ts[None, :] > t_to[:, None]).astype(dtype) - (
-        ts[None, :] > t_from[:, None]
-    ).astype(dtype)  # [L, T]
-    st = state.at[locs].add(
-        xs[:, None, None] * w[:, :, None] * stoich_k[None, None, :]
-    )
-    return ev, st
+    """Applies L moves of transition ``k`` (distinct rows) consistently.
+
+    Deliberately a loop of single-row updates: each lowers to in-place
+    dynamic-slice updates, whereas one batched multi-row ``scatter-add``
+    measured ~4x slower on TPU (array-indexed scatter falls off XLA's
+    in-place fast path and copies the operand)."""
+    for i in range(locs.shape[0]):
+        events, state = apply_event_delta(
+            events, state, locs[i], t_from[i], t_to[i], xs[i], k
+        )
+    return events, state
 
 
 def apply_event_delta(events, state, loc, t_from, t_to, x, k, occult=False):
@@ -281,10 +276,13 @@ class WindowedEvaluator(NamedTuple):
             return jnp.sum(jax.vmap(f)(locs, t_from, t_to, xs))
 
         L = locs.shape[0]
-        M = events.shape[0]
         p = s[:, None] + jnp.arange(W)[None, :]  # [i=L, W] window columns
 
         # --- all-location rate-only cells over the L windows -------------
+        # Everything stays in window-major [L, M, W] layout (the natural
+        # vmapped-slice output — no transposes; an earlier [M, L, W] +
+        # reshape layout cost more in data movement than the joint eval
+        # saved in launches at MSOA scale).
         # w_cross[j, i, :]: move j's state-change indicator at window i's
         # columns; the joint dI at any column is the sum over j.
         w_cross = (p[None, :, :] > t_to[:, None, None]).astype(dtype) - (
@@ -292,42 +290,37 @@ class WindowedEvaluator(NamedTuple):
         ).astype(dtype)  # [j, i, W]
         add = xs[:, None, None] * w_cross  # [j, i, W] raw I deltas
 
-        def wslice(a, si):  # [M, T] -> [M, W]
-            return jax.lax.dynamic_slice_in_dim(a, si, W, axis=1)
+        def wslices(a):  # [M, T] -> [L, M, W] per-window slices
+            return jax.vmap(
+                lambda si: jax.lax.dynamic_slice_in_dim(a, si, W, axis=1)
+            )(s)
 
-        I_old = jnp.moveaxis(
-            jax.vmap(lambda si: wslice(state[..., 2], si))(s), 0, 1
-        )  # [M, L, W]
-        I_new = I_old.at[locs].add(add)
+        I_old = wslices(state[..., 2])  # [L, M, W]
+        # joint dI into the moved rows via a one-hot contraction (a
+        # multi-row scatter-add here measured ~ms-slow on TPU)
+        onehot = (
+            locs[:, None] == jnp.arange(events.shape[0])[None, :]
+        ).astype(dtype)  # [j, M]
+        I_new = I_old + jnp.einsum("jm,jlw->lmw", onehot, add)
+        ion = I_old / ctx.N[None, :, None]
         if ctx.Cstar_bsr is not None:
-            commute_old = ctx.Cstar_bsr.matmul(
-                (I_old / ctx.N[:, None, None]).reshape(M, L * W)
-            ).reshape(M, L, W)
+            commute_old = jax.vmap(ctx.Cstar_bsr.matmul)(ion)
         else:
-            commute_old = (
-                ctx.Cstar @ (I_old / ctx.N[:, None, None]).reshape(M, L * W)
-            ).reshape(M, L, W)
+            commute_old = jnp.einsum("mn,lnw->lmw", ctx.Cstar, ion)
         commute_new = commute_old + jnp.einsum(
-            "mj,jiw->miw",
+            "mj,jlw->lmw",
             ctx.Cstar[:, locs],
             add / ctx.N[locs][:, None, None],
         )
-        pref = (
-            jnp.moveaxis(jax.vmap(lambda si: wslice(ctx.exp_eta, si))(s), 0, 1)
-            / ctx.N[:, None, None]
-        )  # [M, L, W]
+        pref = wslices(ctx.exp_eta) / ctx.N[None, :, None]  # [L, M, W]
         pw = jax.vmap(
             lambda si: jax.lax.dynamic_slice_in_dim(ctx.psi_w, si, W)
-        )(s)  # [L, W]
-        r_old = pref * (I_old + pw[None] * commute_old) + RATE_EPS
-        r_new = pref * (I_new + pw[None] * commute_new) + RATE_EPS
-        S_w = jnp.moveaxis(
-            jax.vmap(lambda si: wslice(state[..., 0], si))(s), 0, 1
-        )
-        y0_w = jnp.moveaxis(
-            jax.vmap(lambda si: wslice(events[..., 0], si))(s), 0, 1
-        )
-        cells = _rate_diff_no_lgamma(S_w, y0_w, r_old, r_new)  # [M, L, W]
+        )(s)[:, None, :]  # [L, 1, W]
+        r_old = pref * (I_old + pw * commute_old) + RATE_EPS
+        r_new = pref * (I_new + pw * commute_new) + RATE_EPS
+        cells = _rate_diff_no_lgamma(
+            wslices(state[..., 0]), wslices(events[..., 0]), r_old, r_new
+        )  # [L, M, W]
         # count-once mask: window i's column is dropped if it also lies in
         # an earlier window j < i (that copy already carries the joint dI)
         in_win = (p[None, :, :] >= s[:, None, None]) & (
@@ -335,7 +328,7 @@ class WindowedEvaluator(NamedTuple):
         )  # [j, i, W]
         earlier = jnp.arange(L)[:, None] > jnp.arange(L)[None, :]  # i > j
         dup = jnp.any(in_win & earlier.T[:, :, None], axis=0)  # [i, W]
-        delta = jnp.sum(cells * (~dup).astype(dtype)[None])
+        delta = jnp.sum(cells * (~dup).astype(dtype)[:, None, :])
 
         # --- per-row E->I / I->R terms (disjoint rows) --------------------
         stoich_k = jnp.asarray(_STOICH[1], dtype)

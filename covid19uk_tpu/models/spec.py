@@ -57,10 +57,15 @@ class ModelData(NamedTuple):
         triangular factor in the hot path (P inherits the adjacency's
         sparsity; the Cholesky would fill in).
       car_logdet: scalar ``log det(precision)`` (precomputed once).
-      Cstar_bsr / car_prec_bsr: optional block-sparse (Pallas block-ELL)
-        operators for the two symmetric hot matrices — built at MSOA scale
-        where the dense products are HBM-bound on mostly-zero matrices
-        (``ops/pallas/block_sparse.py``); None = use the dense arrays.
+      Cstar_bsr: optional block-sparse (Pallas block-ELL) operator for the
+        commuting matrix — built at MSOA scale where the dense [M,M]@[M,T]
+        products are HBM-bound on a mostly-zero matrix
+        (``ops/pallas/block_sparse.py``); None = use the dense array.
+      car_band: optional block-tridiagonal operator for the CAR precision
+        (``ops/banded.py``).  The prior evaluates a VECTOR quadratic form
+        per leapfrog step, where the 128-lane-padded block-ELL kernel
+        wastes 128x MXU work (measured ~5 ms/step of MSOA HMC); the banded
+        form is two batched small matmuls.  None = dense quadratic form.
     """
 
     C: jnp.ndarray
@@ -72,7 +77,7 @@ class ModelData(NamedTuple):
     car_precision: jnp.ndarray
     car_logdet: jnp.ndarray
     Cstar_bsr: object = None
-    car_prec_bsr: object = None
+    car_band: object = None
 
     @property
     def num_locations(self):
@@ -97,7 +102,7 @@ class ModelData(NamedTuple):
             within/between attribution uses it; the inference path passes
             False at MSOA scale to skip a [M, M] device transfer.
 
-        When the CAR precision gets a block-sparse operator, the dense
+        When the CAR precision gets a banded operator, the dense
         ``car_precision`` is stored as a [0, 0] placeholder — the prior
         only reads whichever representation is live.
         """
@@ -131,7 +136,7 @@ class ModelData(NamedTuple):
         car_logdet = _car_log_det(precision)
 
         Cstar_bsr = _maybe_block_sparse(Cstar, dtype, sparse)
-        car_prec_bsr = _maybe_block_sparse(precision, dtype, sparse)
+        car_band = _maybe_banded(precision, dtype, sparse)
 
         empty = jnp.zeros((0, 0), dtype)
         return cls(
@@ -142,12 +147,12 @@ class ModelData(NamedTuple):
             weekday=jnp.asarray(weekday, dtype),
             log_area=jnp.asarray(log_area, dtype),
             car_precision=(
-                empty if car_prec_bsr is not None
+                empty if car_band is not None
                 else jnp.asarray(precision, dtype)
             ),
             car_logdet=jnp.asarray(car_logdet, dtype),
             Cstar_bsr=Cstar_bsr,
-            car_prec_bsr=car_prec_bsr,
+            car_band=car_band,
         )
 
 
@@ -169,6 +174,18 @@ def _maybe_block_sparse(a, dtype, sparse):
     if sparse == "auto" and bsr.block_density > 0.3:
         return None
     return bsr
+
+
+def _maybe_banded(a, dtype, sparse):
+    """Builds a :class:`BandedSym` CAR-precision operator when it pays."""
+    if sparse is False:
+        return None
+    M = a.shape[0]
+    if sparse == "auto" and M < 1024:
+        return None
+    from covid19uk_tpu.ops.banded import BandedSym
+
+    return BandedSym.from_dense(a, dtype)
 
 
 def _car_log_det(precision):
@@ -527,14 +544,14 @@ class CovidUK:
         # the (dense, filled-in) Cholesky factor in the HMC gradient path.
         x = params.spatial_effect
         M = self.data.num_locations
-        if self.data.car_prec_bsr is not None:
-            Px = self.data.car_prec_bsr.matmul(x)
+        if self.data.car_band is not None:
+            quad = self.data.car_band.quad(x)
         else:
-            Px = x @ self.data.car_precision
+            quad = jnp.sum(x * (x @ self.data.car_precision), axis=-1)
         lp += (
             0.5 * self.data.car_logdet
             - 0.5 * M * _LOG_2PI
-            - 0.5 * jnp.sum(x * Px, axis=-1)
+            - 0.5 * quad
         )
         lp += normal_lp(params.gamma0, 100.0)
         lp += normal_lp(params.gamma1, 100.0)

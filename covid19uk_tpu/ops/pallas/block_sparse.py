@@ -138,7 +138,7 @@ def _bsr_apply(values, col_idx, xp):
             grid=grid,
             in_specs=[
                 vals_spec,
-                pl.BlockSpec(memory_space=pltpu.ANY),  # x stays in HBM
+                pl.BlockSpec(memory_space=pl.ANY),  # x stays in HBM
             ],
             out_specs=out_spec,
             scratch_shapes=[
@@ -194,6 +194,89 @@ def _bsr_apply(values, col_idx, xp):
     )(col_idx, values, xp)
 
 
+def _make_partitioned_apply(batched):
+    """Wraps the kernel call in a ``custom_partitioning`` SPMD rule.
+
+    Row-partitioned model parallelism for the space-sharded MSOA driver
+    (SURVEY.md §2.8): when ``values``/``col_idx`` are sharded along the
+    block-row axis (dim 0), each device runs the kernel on its row band
+    with ``x`` all-gathered (``col_idx`` holds *global* block-column
+    indices, so the local kernel needs the full ``x`` — the partitioner
+    inserts the all-gather from the declared shardings alone).  The output
+    inherits the row sharding; a batch (chain) axis passes through, giving
+    2-D (chain x space) parallelism.  Without a mesh this is the identity
+    wrapper.
+    """
+    from jax.experimental.custom_partitioning import custom_partitioning
+    from jax.sharding import NamedSharding, PartitionSpec
+
+    if batched:
+        rule = "r k b1 b2, r k, s m t -> s (r b1) t"
+    else:
+        rule = "r k b1 b2, r k, m t -> (r b1) t"
+
+    @custom_partitioning
+    def fn(values, col_idx, xp):
+        return _bsr_apply(values, col_idx, xp)
+
+    def _specs(mesh, arg_shapes):
+        def spec_of(sh):
+            s = getattr(sh.sharding, "spec", None)
+            return tuple(s) if s is not None else ()
+
+        vspec = spec_of(arg_shapes[0])
+        row = vspec[0] if len(vspec) > 0 else None
+        xspec = spec_of(arg_shapes[2])
+        batch = xspec[0] if batched and len(xspec) > 0 else None
+        P = PartitionSpec
+        args = (
+            NamedSharding(mesh, P(row, None, None, None)),
+            NamedSharding(mesh, P(row, None)),
+            NamedSharding(
+                mesh, P(batch, None, None) if batched else P(None, None)
+            ),
+        )
+        out = NamedSharding(
+            mesh, P(batch, row, None) if batched else P(row, None)
+        )
+        return args, out
+
+    def partition(mesh, arg_shapes, result_shape):
+        arg_shardings, out_sharding = _specs(mesh, arg_shapes)
+
+        def lower_fn(values, col_idx, xp):
+            return _bsr_apply(values, col_idx, xp)
+
+        return mesh, lower_fn, out_sharding, arg_shardings
+
+    def infer_sharding_from_operands(mesh, arg_shapes, result_shape):
+        _, out_sharding = _specs(mesh, arg_shapes)
+        return out_sharding
+
+    fn.def_partition(
+        partition=partition,
+        infer_sharding_from_operands=infer_sharding_from_operands,
+        sharding_rule=rule,
+        need_replication_factors=("k", "b1", "b2", "m"),
+    )
+    return fn
+
+
+_bsr_apply_unbatched = None
+_bsr_apply_batched = None
+
+
+def _partitioned_apply(values, col_idx, xp):
+    global _bsr_apply_unbatched, _bsr_apply_batched
+    if xp.ndim == 3:
+        if _bsr_apply_batched is None:
+            _bsr_apply_batched = _make_partitioned_apply(batched=True)
+        return _bsr_apply_batched(values, col_idx, xp)
+    if _bsr_apply_unbatched is None:
+        _bsr_apply_unbatched = _make_partitioned_apply(batched=False)
+    return _bsr_apply_unbatched(values, col_idx, xp)
+
+
 def _bsr_matmul_impl(values, col_idx, x):
     """Pad/unpad wrapper over the kernel; x is ``[(S,) M, T]``."""
     R, K, B, _ = values.shape
@@ -202,7 +285,7 @@ def _bsr_matmul_impl(values, col_idx, x):
     lead = x.shape[:-2]
     xp = jnp.zeros(lead + (R * B, tp), x.dtype)
     xp = xp.at[..., :n, :t].set(x)
-    return _bsr_apply(values, col_idx, xp)[..., :n, :t]
+    return _partitioned_apply(values, col_idx, xp)[..., :n, :t]
 
 
 @jax.custom_batching.custom_vmap
@@ -221,11 +304,22 @@ def _bsr_core_vmap_rule(axis_size, in_batched, values, col_idx, x):
             "vmap over BlockSparse values/col_idx is not supported "
             "(the matrix is shared across chains)"
         )
-    if x.ndim != 3:
-        raise NotImplementedError(
-            "bsr_matmul supports a single vmap level over x"
+    if x.ndim > 3:
+        # Nested vmap (e.g. chains over the L-vmapped windowed evaluator):
+        # fold this level into the batch axis and RE-ENTER _bsr_core so any
+        # remaining outer vmap levels hit this rule again (the primitives
+        # inside the impl — custom_partitioning in particular — have no
+        # generic batching rule).
+        lead = x.shape[: x.ndim - 2]
+        flat = _bsr_core(
+            values, col_idx, x.reshape((-1,) + x.shape[-2:])
         )
-    return _bsr_matmul_impl(values, col_idx, x), True
+        return flat.reshape(lead + flat.shape[-2:]), True
+    # Re-enter _bsr_core (NOT the impl): the rule body is traced under any
+    # REMAINING outer batch levels, and only a _bsr_core call lets those
+    # levels hit this rule again instead of the un-batchable
+    # custom_partitioning primitive inside the impl.
+    return _bsr_core(values, col_idx, x), True
 
 
 # custom_vjp OUTSIDE custom_vmap: reverse-mode AD hits the VJP rule first

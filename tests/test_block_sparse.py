@@ -82,6 +82,107 @@ def test_non_multiple_of_block(rng):
     )
 
 
+def test_banded_sym_quad_matvec_match_dense(rng):
+    """BandedSym (block-tridiagonal CAR-precision operator): quad/matvec
+    parity with dense, including gradient and the vmapped-chains path."""
+    from covid19uk_tpu.ops.banded import BandedSym
+
+    M = 300
+    # adjacency-like sparse SPD-ish matrix (banded after RCM)
+    a = np.zeros((M, M))
+    for i in range(M):
+        for j in (i - 2, i - 1, i + 1, i + 2):
+            if 0 <= j < M and abs(i * 7919 % 13) > 3:
+                a[i, j] = a[j, i] = -0.25
+    a[np.arange(M), np.arange(M)] = 4.0
+    # scramble the ordering so RCM has work to do
+    p = np.random.default_rng(0).permutation(M)
+    a = a[np.ix_(p, p)]
+
+    band = BandedSym.from_dense(a, jnp.float64)
+    np.testing.assert_allclose(band.todense(), a, atol=1e-12)
+
+    x = jnp.asarray(rng.normal(size=M))
+    np.testing.assert_allclose(
+        float(band.quad(x)), float(np.asarray(x) @ a @ np.asarray(x)),
+        rtol=1e-10,
+    )
+    np.testing.assert_allclose(
+        np.asarray(band.matvec(x)), a @ np.asarray(x), rtol=1e-10
+    )
+    # gradient of the quadratic form is 2 A x (symmetric A)
+    g = jax.grad(lambda x: 0.5 * band.quad(x))(x)
+    np.testing.assert_allclose(np.asarray(g), a @ np.asarray(x), rtol=1e-9)
+    # vmapped chains
+    xb = jnp.asarray(rng.normal(size=(4, M)))
+    qb = jax.jit(jax.vmap(band.quad))(xb)
+    want = np.einsum("ci,ij,cj->c", np.asarray(xb), a, np.asarray(xb))
+    np.testing.assert_allclose(np.asarray(qb), want, rtol=1e-10)
+
+
+def test_row_sharded_matmul_matches_dense(rng):
+    """Space-sharded path (SURVEY.md §2.8): values/col_idx sharded along
+    the block-row axis over a mesh run each device's row band locally
+    (custom_partitioning rule) — parity with dense, single and batched,
+    value and gradient, on the 8-device CPU mesh."""
+    from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+    M, T = 2 * BLOCK, 24
+    a = _random_symmetric_sparse(rng, M, n_entries=600)
+    bs = BlockSparse.from_dense(a, jnp.float32)
+    assert bs.col_idx.shape[0] == 2
+
+    mesh = Mesh(np.array(jax.devices()[:2]), ("space",))
+    bs_sh = BlockSparse(
+        jax.device_put(
+            bs.values, NamedSharding(mesh, P("space", None, None, None))
+        ),
+        jax.device_put(bs.col_idx, NamedSharding(mesh, P("space", None))),
+        bs.n,
+        bs.perm,
+        bs.inv_perm,
+    )
+    x = jnp.asarray(rng.normal(size=(M, T)), jnp.float32)
+    y = jax.jit(lambda b, x: b.matmul(x))(bs_sh, x)
+    np.testing.assert_allclose(
+        np.asarray(y), a.astype(np.float32) @ np.asarray(x),
+        rtol=1e-4, atol=1e-4,
+    )
+
+    # gradient through the sharded operator
+    g = jax.jit(
+        jax.grad(lambda x: jnp.sum(jnp.tanh(bs_sh.matmul(x))))
+    )(x)
+    g_ref = jax.grad(lambda x: jnp.sum(jnp.tanh(bs.matmul(x))))(x)
+    np.testing.assert_allclose(
+        np.asarray(g), np.asarray(g_ref), rtol=1e-4, atol=1e-4
+    )
+
+    # batched chains on a (chain x space) mesh — 2-D parallelism
+    mesh2 = Mesh(np.array(jax.devices()).reshape(4, 2), ("chain", "space"))
+    bs_sh2 = BlockSparse(
+        jax.device_put(
+            bs.values, NamedSharding(mesh2, P("space", None, None, None))
+        ),
+        jax.device_put(bs.col_idx, NamedSharding(mesh2, P("space", None))),
+        bs.n,
+        bs.perm,
+        bs.inv_perm,
+    )
+    xb = jax.device_put(
+        jnp.asarray(rng.normal(size=(8, M, T)), jnp.float32),
+        NamedSharding(mesh2, P("chain", None, None)),
+    )
+    yb = jax.jit(jax.vmap(lambda b, x: b.matmul(x), in_axes=(None, 0)))(
+        bs_sh2, xb
+    )
+    np.testing.assert_allclose(
+        np.asarray(yb),
+        np.einsum("ij,cjt->cit", a.astype(np.float32), np.asarray(xb)),
+        rtol=1e-4, atol=1e-4,
+    )
+
+
 def test_sparse_model_matches_dense():
     """CovidUK with block-sparse operators == the dense model: density and
     gradient, at synthetic-gravity covariates (naturally sparse flows)."""
@@ -94,7 +195,7 @@ def test_sparse_model_matches_dense():
     dense = build_synthetic_model(M, T, jnp.float32, sparse=False)
     sparse = build_synthetic_model(M, T, jnp.float32, sparse=True)
     assert sparse.data.Cstar_bsr is not None
-    assert sparse.data.car_prec_bsr is not None
+    assert sparse.data.car_band is not None
 
     state = initial_chain_state(dense)
 

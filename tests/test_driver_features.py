@@ -49,6 +49,37 @@ def test_multichain_layout_and_thin(tmp_path, rng):
 
 
 @pytest.mark.slow
+def test_write_thin_stores_every_nth_draw(tmp_path, rng):
+    """Mcmc thin > 1 stores every thin-th sampling draw (warmup in full):
+    same seeds => the thinned store equals the strided slice of the
+    unthinned one."""
+    import h5py
+
+    from covid19uk_tpu.inference.driver import mcmc
+
+    path = str(tmp_path / "data.h5")
+    make_synthetic_datafile(path, rng, M=3, T0=25)
+    warm = 6 + 4 + 4
+
+    full = str(tmp_path / "full.h5")
+    mcmc(path, full, _cfg(num_bursts=2, num_burst_samples=6, thin=1))
+    thinned = str(tmp_path / "thin.h5")
+    mcmc(path, thinned, _cfg(num_bursts=2, num_burst_samples=6, thin=3))
+
+    with h5py.File(full, "r") as a, h5py.File(thinned, "r") as b:
+        assert b["samples/psi"].shape == (warm + 4,)
+        np.testing.assert_array_equal(
+            a["samples/psi"][:warm], b["samples/psi"][:warm]
+        )
+        np.testing.assert_array_equal(
+            a["samples/psi"][warm + 2 :: 3], b["samples/psi"][warm:]
+        )
+        np.testing.assert_array_equal(
+            a["samples/seir"][warm + 2 :: 3], b["samples/seir"][warm:]
+        )
+
+
+@pytest.mark.slow
 def test_checkpoint_resume(tmp_path, rng):
     """Killing mid-run and re-running resumes into the SAME posterior file
     without truncating, completing the remaining bursts."""

@@ -79,3 +79,40 @@ def test_space_sharding_matches_unsharded(tmp_path, rng):
         np.testing.assert_allclose(
             a["samples/seir"][:], b["samples/seir"][:]
         )
+
+
+@pytest.mark.slow
+def test_space_sharding_keeps_block_sparse(tmp_path, rng):
+    """With sparse='always', the space-sharded driver keeps the Pallas
+    block-sparse operators (row-partitioned via the custom_partitioning
+    rule) instead of falling back to dense — and matches the unsharded
+    sparse run."""
+    import jax
+
+    assert jax.device_count() == 8
+
+    from covid19uk_tpu.inference.driver import mcmc
+
+    path = str(tmp_path / "data.h5")
+    # M = 2 blocks of 128 => block-row count divides space_devices=2
+    make_synthetic_datafile(path, rng, M=256, T0=25)
+
+    cfg = dict(
+        dmax=4, nmax=8, m=2, occult_nmax=4, num_event_time_updates=2,
+        num_bursts=1, num_burst_samples=5, thin=1, dtype="float64",
+        seed=1, num_chains=4, sparse="always",
+        warmup=dict(first_window=4, slow_window=4, num_slow_windows=1,
+                    last_window=4),
+    )
+    out_plain = str(tmp_path / "plain.h5")
+    mcmc(path, out_plain, dict(cfg))
+    out_mesh = str(tmp_path / "mesh.h5")
+    mcmc(path, out_mesh, dict(cfg, use_mesh=True, space_devices=2))
+
+    with h5py.File(out_plain, "r") as a, h5py.File(out_mesh, "r") as b:
+        np.testing.assert_allclose(
+            a["samples/psi"][:], b["samples/psi"][:], rtol=1e-8
+        )
+        np.testing.assert_allclose(
+            a["samples/seir"][:], b["samples/seir"][:]
+        )
