@@ -705,7 +705,8 @@ def mcmc(data_file, output_file, config):
     # saves an [M, M] device transfer at MSOA scale.
     sparse = {"auto": "auto", "always": True, "never": False}[config.sparse]
     data = ModelData.create(
-        constant_data.variables, dtype, sparse=sparse, keep_C=False
+        constant_data.variables, dtype, sparse=sparse, keep_C=False,
+        num_chains=config.num_chains,
     )
     model = CovidUK(
         data=data,

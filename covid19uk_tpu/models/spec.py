@@ -85,7 +85,7 @@ class ModelData(NamedTuple):
 
     @classmethod
     def create(cls, covariates, dtype=jnp.float32, sparse="auto",
-               keep_C=True):
+               keep_C=True, num_chains=1):
         """Builds ModelData from a dict of raw covariate arrays.
 
         Args:
@@ -95,9 +95,13 @@ class ModelData(NamedTuple):
             (reference ``model_spec.py:49-105``).
           dtype: device dtype for all arrays.
           sparse: "auto" (default) builds block-sparse operators for
-            ``Cstar`` / the CAR precision when M >= 1024 and the
-            post-reorder 128-block density is <= 0.3; True forces them;
+            ``Cstar`` / the CAR precision when M >= 1024, the
+            post-reorder 128-block density is <= 0.3, AND the run is
+            single-chain (``num_chains`` — batched BSR loses to dense,
+            see ``_maybe_block_sparse``); True forces them;
             False disables.
+          num_chains: chain count the model will be vmapped over (the
+            "auto" batch gate above; ignored for True/False).
           keep_C: keep the raw directed flow matrix on device.  Only the
             within/between attribution uses it; the inference path passes
             False at MSOA scale to skip a [M, M] device transfer.
@@ -135,7 +139,7 @@ class ModelData(NamedTuple):
         precision[idx, idx] += deg.astype(hdtype)
         car_logdet = _car_log_det(precision)
 
-        Cstar_bsr = _maybe_block_sparse(Cstar, dtype, sparse)
+        Cstar_bsr = _maybe_block_sparse(Cstar, dtype, sparse, num_chains)
         car_band = _maybe_banded(precision, dtype, sparse)
 
         empty = jnp.zeros((0, 0), dtype)
@@ -156,12 +160,21 @@ class ModelData(NamedTuple):
         )
 
 
-def _maybe_block_sparse(a, dtype, sparse):
+def _maybe_block_sparse(a, dtype, sparse, num_chains=1):
     """Builds a :class:`BlockSparse` operator when it pays (see create)."""
     if sparse is False:
         return None
     M = a.shape[0]
     if sparse == "auto" and M < 1024:
+        return None
+    if sparse == "auto" and num_chains >= 2:
+        # Batched (chain-vmapped) BSR loses to dense at every measured
+        # C >= 2: the x-gather traffic scales with nnzb x C while dense
+        # batching amortizes the A-read across the batch (v5e tables in
+        # tools/bench_block_sparse.py — 0.59x at C=8 on gravity synthetics
+        # — and tools/validate_sparse_gate.py — <=0.84x at C in {2,4,8}
+        # on real-census-topology flows).  Multi-chain runs route every
+        # operator application through the vmap, so skip the build.
         return None
     from covid19uk_tpu.ops.pallas.block_sparse import BlockSparse
 
@@ -169,8 +182,12 @@ def _maybe_block_sparse(a, dtype, sparse):
     # two-full-matrix-temporary symmetry check
     bsr = BlockSparse.from_dense(a, dtype, check_symmetric=False)
     # Threshold from tools/bench_block_sparse.py on v5e: at 0.16 block
-    # density (RCM-reordered, census-realistic commuting flows) the kernel
-    # beats dense 1.52x; at 0.36 it only breaks even.
+    # density (RCM-reordered, gravity-flow commuting matrices) the kernel
+    # beats dense 1.99x single-chain; at 0.36 it only breaks even.  On the
+    # raw real-census topology the 128-block density saturates near 1.0
+    # (real LAD connectivity is ~86% dense, so nearly every block gets a
+    # hit) and this gate correctly rejects the operator — see
+    # tools/validate_sparse_gate.py.
     if sparse == "auto" and bsr.block_density > 0.3:
         return None
     return bsr

@@ -90,8 +90,9 @@ def build_synthetic_model(M, T, dtype, rng_seed=0, sparse="auto",
         operators when the matrices are large and sparse enough to pay.
       radius_frac: commuting cutoff radius (fraction of the unit box).
         0.12 suits LAD-scale M (~17 neighbours at M=380); MSOA-scale runs
-        should use ~0.05 (0.8% element density at M=7000, conservative vs
-        the 2011 census matrix's 0.46%).
+        should use ~0.05 (0.8% element density at M=7000; the 2011 census
+        MSOA matrix is ~6x denser and block-saturated — see
+        tools/validate_sparse_gate.py).
     """
     import jax.numpy as jnp
 

@@ -30,6 +30,20 @@ def test_from_dense_roundtrip(rng):
     assert bs.block_density <= 1.0
 
 
+def test_auto_gate_rejects_multichain(rng):
+    """sparse='auto' skips the BSR build for multi-chain runs (batched BSR
+    measured slower than dense at every C >= 2 — tools/bench_block_sparse
+    and tools/validate_sparse_gate); True still forces it."""
+    from covid19uk_tpu.models.spec import _maybe_block_sparse
+
+    a = _random_symmetric_sparse(rng, 1536, n_entries=400)
+    assert _maybe_block_sparse(a, jnp.float32, "auto", num_chains=1) \
+        is not None
+    assert _maybe_block_sparse(a, jnp.float32, "auto", num_chains=4) is None
+    assert _maybe_block_sparse(a, jnp.float32, True, num_chains=4) \
+        is not None
+
+
 def test_from_dense_rejects_asymmetric(rng):
     a = rng.normal(size=(64, 64))
     with pytest.raises(ValueError, match="symmetric"):

@@ -7,9 +7,10 @@ device (the TPU under axon).
 
     python tools/bench_block_sparse.py [M] [T] [radius_frac]
 
-The default radius_frac=0.05 gives ~0.8% element density at M=7000 —
-conservative next to the 2011 census MSOA commuting matrix (~2.4M nonzero
-OD pairs / 7201^2 = 0.46%).
+The default radius_frac=0.05 gives ~0.8% element density at M=7000.  NB
+the 2011 census MSOA commuting matrix is ~6x denser (~2.4M nonzero OD
+pairs / 7201^2 = 4.6%) and its 128-block density saturates near 1.0 —
+see tools/validate_sparse_gate.py for the real-topology measurement.
 
 Prints per-variant wall times and the sparse-vs-dense speedup.
 """
@@ -85,7 +86,7 @@ def main(M=7000, T=120, radius_frac=0.05):
         jax.vmap(lambda bs, x: bs.matmul(x), in_axes=(None, 0))
     )
     print(f"{'C':>4} {'dense ms':>10} {'bsr ms':>10} {'speedup':>8}")
-    for CC in (1, 8, 64):
+    for CC in (1, 2, 4, 8, 64):
         xb = jnp.asarray(rng.normal(size=(CC, M, T)), jnp.float32)
         tdb = timeit(f_dense_b, dense, xb)
         tsb = timeit(f_sparse_b, bs, xb)
