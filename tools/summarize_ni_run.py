@@ -1,0 +1,211 @@
+"""Summarize the NI production run into docs/ni_production_run.md.
+
+Computes, over the sampling phase of ni_run/posterior.h5:
+  - posterior moments +- MC error (sd/sqrt(ESS)) for the scalar parameters,
+    against the simulating truth (data/ni_example/truth.json);
+  - max split R-hat and min bulk ESS across scalars (4 chains);
+  - per-kernel acceptance rates vs the documented targets (HMC 0.75,
+    reference inference.py:331; event moves ~0.23,
+    reference doc/lancs_space_model_concept.tex:325-326);
+  - downstream-artifact sanity (prediction totals, mean R_t,
+    within/between attribution);
+  - stage wall-clock timings.
+
+Usage: python tools/summarize_ni_run.py [--workdir ni_run]
+"""
+
+import argparse
+import json
+import os
+import pickle
+import sys
+
+import numpy as np
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+SCALARS = ["psi", "sigma_space", "beta_area", "gamma0", "gamma1", "alpha_0"]
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("--workdir", default="ni_run")
+    p.add_argument("--config", default="data/ni_example/config.yaml")
+    p.add_argument("--out", default="docs/ni_production_run.md")
+    args = p.parse_args()
+
+    import h5py
+    import yaml
+
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+
+    from covid19uk_tpu.parallel.diagnostics import gate_statistics
+
+    wd = os.path.join(REPO, args.workdir)
+    with open(os.path.join(REPO, args.config)) as f:
+        cfg = yaml.safe_load(f)
+    warmup_cfg = cfg["Mcmc"].get("warmup") or {}
+    first = warmup_cfg.get("first_window", 200)
+    slow = warmup_cfg.get("slow_window", 25)
+    nslow = warmup_cfg.get("num_slow_windows", 6)
+    last = warmup_cfg.get("last_window", 50)
+    warmup_total = first + slow * (2**nslow - 1) + last
+    with open(os.path.join(REPO, "data/ni_example/truth.json")) as f:
+        truth = json.load(f)
+
+    rows = []
+    acc = {}
+    with h5py.File(os.path.join(wd, "posterior.h5"), "r") as f:
+        n_total = f["samples/gamma0"].shape[0]
+        for name in SCALARS:
+            d = np.asarray(f[f"samples/{name}"][warmup_total:], np.float64)
+            chains = d.T if d.ndim == 2 else d[None, :]  # [C, N]
+            rhat, ess = gate_statistics(chains[..., None])
+            rhat, ess = float(rhat), float(ess)
+            mean, sd = float(chains.mean()), float(chains.std())
+            mcse = sd / np.sqrt(max(ess, 1.0))
+            t = truth[name]
+            z = (mean - t) / max(mcse, 1e-12)
+            rows.append(dict(name=name, mean=mean, sd=sd, mcse=mcse,
+                             ess=ess, rhat=rhat, truth=t, z=z))
+        for label, key, target in [
+            ("HMC (theta)", "results/hmc/is_accepted", 0.75),
+            ("move S->E", "results/move/S->E/is_accepted", 0.23),
+            ("move E->I", "results/move/E->I/is_accepted", 0.23),
+            ("occult S->E", "results/occult/S->E/is_accepted", None),
+            ("occult E->I", "results/occult/E->I/is_accepted", None),
+        ]:
+            a = np.asarray(f[key][warmup_total:], np.float64)
+            acc[label] = (float(a.mean()), target)
+        num_chains = (f["samples/gamma0"].shape[1]
+                      if f["samples/gamma0"].ndim == 2 else 1)
+
+    with open(os.path.join(wd, "thin_samples.pkl"), "rb") as f:
+        thin = pickle.load(f)
+    n_thin = thin["gamma0"].shape[0]
+
+    # downstream artifacts
+    import pandas as pd
+
+    from covid19uk_tpu.utils import ncio
+
+    pred = ncio.load_group(os.path.join(wd, "insample7.nc"), "predictions")
+    pred_cases = np.asarray(
+        pred["events"]
+    )[..., -1]  # [S, M, T, last transition] = removals
+    pred_daily = pred_cases.sum(axis=1)  # [S, T]
+    rt = ncio.load_group(os.path.join(wd, "reproduction_number.nc"),
+                         "posterior_predictive")
+    rt_mean = float(np.asarray(rt["R_t"]).mean())
+    wb = pd.read_csv(os.path.join(wd, "within_between.csv"))
+    with open(os.path.join(wd, "timings.json")) as f:
+        timings = json.load(f)
+
+    max_rhat = max(r["rhat"] for r in rows)
+    min_ess = min(r["ess"] for r in rows)
+    n_sampling = n_total - warmup_total
+
+    lines = [
+        "# NI production run — results",
+        "",
+        "Reference acceptance run rebuilt offline: **real census covariates**",
+        "(`/root/reference/data/mergedflows.csv` commuting flows,",
+        "`c2019modagepop.csv` mid-2019 population; 11 NI LADs, 32 days),",
+        "case series **simulated from the model at known parameters**",
+        "(`tools/make_ni_inputs.py`, truth in `data/ni_example/truth.json`)",
+        "so the run doubles as a calibration check. Full pipeline driven",
+        "through the production CLIs on the TPU chip",
+        "(`tools/run_ni_production.py`).",
+        "",
+        f"- chains: **{num_chains}**, draws: **{warmup_total} warmup + "
+        f"{n_sampling} sampling** per chain (reference operating point)",
+        f"- thinned samples: {n_thin} (chains folded, by=10)",
+        f"- max split R-hat (scalars): **{max_rhat:.4f}**",
+        f"- min bulk ESS (scalars): **{min_ess:.0f}**",
+        "",
+        "## Posterior moments vs simulating truth",
+        "",
+        "| parameter | posterior mean ± sd | MCSE | ESS | R-hat | truth | z(MCSE) |",
+        "|---|---|---|---|---|---|---|",
+    ]
+    for r in rows:
+        lines.append(
+            f"| {r['name']} | {r['mean']:.4f} ± {r['sd']:.4f} "
+            f"| {r['mcse']:.4f} | {r['ess']:.0f} | {r['rhat']:.4f} "
+            f"| {r['truth']:.4f} | {r['z']:+.1f} |"
+        )
+    lines += [
+        "",
+        "z(MCSE) is (mean − truth)/MCSE — a *sampler-precision* score, not a",
+        "coverage test: posterior sd ≫ MCSE at this data size, and latent",
+        "event totals outside the 21-day occult window are pinned by the",
+        "imputation (same structural property as the reference,",
+        "inference.py:334-341), so absolute recovery is checked against the",
+        "posterior sd below.",
+        "",
+        "## Acceptance rates (sampling phase)",
+        "",
+        "| kernel | rate | documented target |",
+        "|---|---|---|",
+    ]
+    for label, (rate, target) in acc.items():
+        tgt = f"{target:.2f}" if target is not None else "—"
+        lines.append(f"| {label} | {rate:.3f} | {tgt} |")
+    lines += [
+        "",
+        "## Downstream artifacts",
+        "",
+        f"- `insample7.nc`: 7-day in-sample prediction, "
+        f"{pred_daily.shape[0]} posterior draws; predicted daily removals "
+        f"mean {pred_daily.mean():.0f} (simulated series ran ~100–150/day)",
+        f"- `reproduction_number.nc`: mean R_t over the window = "
+        f"**{rt_mean:.3f}**",
+        f"- `within_between.csv`: {len(wb)} LAD rows "
+        "(within/between-LAD transmission attribution)",
+        "",
+        "## Wall-clock",
+        "",
+        "| stage | seconds |",
+        "|---|---|",
+    ]
+    for k, v in timings.items():
+        lines.append(f"| {k} | {v} |")
+    lines += [
+        "",
+        "Reproduce: `python tools/make_ni_inputs.py && "
+        "python tools/run_ni_production.py`",
+        "",
+    ]
+
+    # recovery sanity gates (loose, per tests/test_recovery.py caveats)
+    by_name = {r["name"]: r for r in rows}
+    checks = []
+    for name in ("gamma0", "alpha_0", "psi"):
+        r = by_name[name]
+        dev = abs(r["mean"] - r["truth"])
+        bound = max(4 * r["sd"], 0.8)
+        checks.append((name, dev, bound, dev < bound))
+    lines += ["## Recovery gates", "",
+              "| parameter | |mean − truth| | bound (max(4 sd, 0.8)) | pass |",
+              "|---|---|---|---|"]
+    for name, dev, bound, ok in checks:
+        lines.append(f"| {name} | {dev:.3f} | {bound:.3f} | "
+                     f"{'✅' if ok else '❌'} |")
+    lines.append("")
+
+    out = os.path.join(REPO, args.out)
+    with open(out, "w") as f:
+        f.write("\n".join(lines))
+    print(f"wrote {out}")
+    print(f"max R-hat {max_rhat:.4f}, min ESS {min_ess:.0f}, "
+          f"HMC acc {acc['HMC (theta)'][0]:.3f}")
+    if any(not ok for *_, ok in checks):
+        print("RECOVERY GATE FAILED", file=sys.stderr)
+        sys.exit(1)
+
+
+if __name__ == "__main__":
+    main()
