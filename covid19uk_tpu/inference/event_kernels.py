@@ -135,6 +135,7 @@ class _MoveProposal(NamedTuple):
     t_dst: jnp.ndarray  # [mmax] clipped destination times
     d: jnp.ndarray  # [mmax] displacements
     x_eff: jnp.ndarray  # [mmax] events moved (0 for null locations)
+    commute: jnp.ndarray = None  # threaded Cstar @ (I/N), when provided
 
 
 def _propose_moves(
@@ -148,6 +149,7 @@ def _propose_moves(
     nmax: int,
     move_decay: float,
     x_decay: float,
+    commute=None,
 ):
     """Samples and applies a multi-location move proposal.
 
@@ -214,11 +216,16 @@ def _propose_moves(
     # evaluated from the pre-move tensors, so the update sees its operand
     # dead and XLA performs it in place.
     delta_total = evaluator.joint_move_delta(
-        events, state, locs, t_src, t_dst_safe, x_eff, target_id
+        events, state, locs, t_src, t_dst_safe, x_eff, target_id,
+        commute=commute,
     )
     ev_cur, st_cur = apply_event_deltas(
         events, state, locs, t_src, t_dst_safe, x_eff, target_id
     )
+    for i in range(mmax):
+        commute = evaluator.apply_commute(
+            commute, locs[i], t_src[i], t_dst_safe[i], x_eff[i], target_id
+        )
 
     # Hastings correction (only for active locations; null moves cancel).
     counts_new = ev_cur[locs, :, target_id]
@@ -246,22 +253,31 @@ def _propose_moves(
         t_dst=t_dst_safe,
         d=d,
         x_eff=x_eff,
+        commute=commute,
     )
 
 
-def _revert_if_rejected(prop: _MoveProposal, accepted, target_id):
+def _revert_if_rejected(prop: _MoveProposal, accepted, target_id, evaluator):
     """Applies the inverse moves when rejected.
 
     A full-tensor ``where(accepted, new, old)`` would copy the [M,T,X]
     events and [M,T,S] state every proposal (the dominant HBM traffic at
     scale); applying the inverse move with x=0-if-accepted touches only the
-    same few cells/rows.
+    same few cells/rows.  A threaded commute reverts the same way (its
+    update is linear in x).
     """
     x_revert = jnp.where(accepted, 0.0, prop.x_eff)
-    return apply_event_deltas(
+    ev, st = apply_event_deltas(
         prop.events, prop.state, prop.locs, prop.t_dst, prop.t_src,
         x_revert, target_id,
     )
+    commute = prop.commute
+    for i in range(prop.locs.shape[0]):
+        commute = evaluator.apply_commute(
+            commute, prop.locs[i], prop.t_dst[i], prop.t_src[i],
+            x_revert[i], target_id,
+        )
+    return ev, st, commute
 
 
 def event_move_step(
@@ -276,6 +292,7 @@ def event_move_step(
     nmax: int,
     move_decay: float = 0.9,
     x_decay: float = 1.0,
+    commute=None,
 ):
     """Moves up to ``nmax`` events of one transition in time, at ``mmax``
     locations jointly (one MH accept/reject).
@@ -283,19 +300,23 @@ def event_move_step(
     Proposal and Hastings ratio: see :func:`_propose_moves`.
 
     Returns:
-      (events, state, logp, EventMoveInfo)
+      (events, state, logp, EventMoveInfo) — or, when a threaded
+      ``commute`` is passed (the production fast path, see likelihood.py),
+      (events, state, commute, logp, EventMoveInfo).
     """
     dtype = events.dtype
     k_prop, k_acc = jax.random.split(key)
     prop = _propose_moves(
         k_prop, events, state, evaluator, target_id, dmax, mmax, nmax,
-        move_decay, x_decay,
+        move_decay, x_decay, commute=commute,
     )
     log_alpha = prop.delta_lp + prop.hastings
 
     u = jax.random.uniform(k_acc, (), dtype)
     accepted = jnp.log(u) < log_alpha
-    ev_cur, st_cur = _revert_if_rejected(prop, accepted, target_id)
+    ev_cur, st_cur, commute = _revert_if_rejected(
+        prop, accepted, target_id, evaluator
+    )
     logp_out = current_logp + jnp.where(accepted, prop.delta_lp, 0.0)
     info = EventMoveInfo(
         is_accepted=accepted,
@@ -305,7 +326,9 @@ def event_move_step(
         delta_t=prop.d.astype(dtype),
         x_star=prop.x_eff,
     )
-    return ev_cur, st_cur, logp_out, info
+    if commute is None:
+        return ev_cur, st_cur, logp_out, info
+    return ev_cur, st_cur, commute, logp_out, info
 
 
 def compensated_move_step(
@@ -323,6 +346,7 @@ def compensated_move_step(
     nmax: int,
     move_decay: float = 0.9,
     x_decay: float = 1.0,
+    commute=None,
 ):
     """Joint (gamma0, events) move: an event move plus a *deterministic*
     compensating translation of a rate intercept.
@@ -360,14 +384,15 @@ def compensated_move_step(
       Other args: as :func:`event_move_step`.
 
     Returns:
-      (events, state, logp, gamma, EventMoveInfo)
+      (events, state, logp, gamma, EventMoveInfo) — with a threaded
+      ``commute``: (events, state, commute, logp, gamma, EventMoveInfo).
     """
     dtype = events.dtype
     k_prop, k_acc = jax.random.split(key)
     phi_old = potential_fn(state)
     prop = _propose_moves(
         k_prop, events, state, evaluator, target_id, dmax, mmax, nmax,
-        move_decay, x_decay,
+        move_decay, x_decay, commute=commute,
     )
     phi_new = potential_fn(prop.state)
     gamma_new = gamma + phi_old - phi_new
@@ -377,7 +402,9 @@ def compensated_move_step(
 
     u = jax.random.uniform(k_acc, (), dtype)
     accepted = jnp.log(u) < log_alpha
-    ev_cur, st_cur = _revert_if_rejected(prop, accepted, target_id)
+    ev_cur, st_cur, commute = _revert_if_rejected(
+        prop, accepted, target_id, evaluator
+    )
     gamma_out = jnp.where(accepted, gamma_new, gamma)
     logp_out = current_logp + jnp.where(accepted, delta_total, 0.0)
     info = EventMoveInfo(
@@ -388,7 +415,9 @@ def compensated_move_step(
         delta_t=prop.d.astype(dtype),
         x_star=prop.x_eff,
     )
-    return ev_cur, st_cur, logp_out, gamma_out, info
+    if commute is None:
+        return ev_cur, st_cur, logp_out, gamma_out, info
+    return ev_cur, st_cur, commute, logp_out, gamma_out, info
 
 
 def pair_move_step(
@@ -402,6 +431,7 @@ def pair_move_step(
     nmax: int,
     move_decay: float = 0.9,
     x_decay: float = 1.0,
+    commute=None,
 ):
     """Translates infection *episodes*: moves x S->E events at t1 AND x
     E->I events at t2 (same location) by the same displacement d, jointly.
@@ -438,7 +468,8 @@ def pair_move_step(
 
     Returns:
       (events, state, logp, EventMoveInfo) — ``delta_t`` traces d and
-      ``t`` traces t2 (the E->I source time).
+      ``t`` traces t2 (the E->I source time).  With a threaded
+      ``commute``: (events, state, commute, logp, EventMoveInfo).
     """
     M, T, X = events.shape
     dtype = events.dtype
@@ -472,7 +503,7 @@ def pair_move_step(
 
     # Apply per-location pair moves sequentially; deltas telescope (each
     # single-transition move is evaluated from the pre-move tensors).
-    ev_cur, st_cur = events, state
+    ev_cur, st_cur, cm_cur = events, state, commute
     delta_total = jnp.zeros((), dtype)
     for i in range(mmax):
         for k_id, t_from, t_to in (
@@ -480,10 +511,14 @@ def pair_move_step(
             (1, t2[i], t2_dst[i]),
         ):
             delta_i = evaluator.move_delta(
-                ev_cur, st_cur, locs[i], t_from, t_to, x_eff[i], k_id
+                ev_cur, st_cur, locs[i], t_from, t_to, x_eff[i], k_id,
+                commute=cm_cur,
             )
             ev_cur, st_cur = apply_event_delta(
                 ev_cur, st_cur, locs[i], t_from, t_to, x_eff[i], k_id
+            )
+            cm_cur = evaluator.apply_commute(
+                cm_cur, locs[i], t_from, t_to, x_eff[i], k_id
             )
             delta_total = delta_total + delta_i
 
@@ -537,6 +572,9 @@ def pair_move_step(
             ev_cur, st_cur = apply_event_delta(
                 ev_cur, st_cur, locs[i], t_from, t_to, x_revert[i], k_id
             )
+            cm_cur = evaluator.apply_commute(
+                cm_cur, locs[i], t_from, t_to, x_revert[i], k_id
+            )
     logp_out = current_logp + jnp.where(accepted, delta_total, 0.0)
     info = EventMoveInfo(
         is_accepted=accepted,
@@ -546,7 +584,9 @@ def pair_move_step(
         delta_t=d.astype(dtype),
         x_star=x_eff,
     )
-    return ev_cur, st_cur, logp_out, info
+    if cm_cur is None:
+        return ev_cur, st_cur, logp_out, info
+    return ev_cur, st_cur, cm_cur, logp_out, info
 
 
 def occult_step(
@@ -559,6 +599,7 @@ def occult_step(
     t_range,
     nmax: int,
     x_decay: float = 1.0,
+    commute=None,
 ):
     """Adds or deletes unobserved ("occult") events of one transition.
 
@@ -572,7 +613,8 @@ def occult_step(
     (mcmc_kernel_factory.py:89-113, inference.py:334-341).
 
     Returns:
-      (events, state, logp, EventMoveInfo)
+      (events, state, logp, EventMoveInfo) — with a threaded ``commute``:
+      (events, state, commute, logp, EventMoveInfo).
     """
     M, T, X = events.shape
     dtype = events.dtype
@@ -596,10 +638,13 @@ def occult_step(
     delta_x = jnp.where(is_add, x, -x)
 
     delta_lp = evaluator.occult_delta(
-        events, state, loc, t, delta_x, target_id
+        events, state, loc, t, delta_x, target_id, commute=commute
     )
     ev_new, st_new = apply_event_delta(
         events, state, loc, t, t, delta_x, target_id, occult=True
+    )
+    commute = evaluator.apply_commute(
+        commute, loc, t, t, delta_x, target_id, occult=True
     )
 
     # Hastings: forward-add has q_x = 1/nmax, reverse-delete has
@@ -628,6 +673,9 @@ def occult_step(
     events_out, state_out = apply_event_delta(
         ev_new, st_new, loc, t, t, revert_x, target_id, occult=True
     )
+    commute = evaluator.apply_commute(
+        commute, loc, t, t, revert_x, target_id, occult=True
+    )
     logp_out = current_logp + jnp.where(accepted, delta_lp, 0.0)
     info = EventMoveInfo(
         is_accepted=accepted,
@@ -637,4 +685,6 @@ def occult_step(
         delta_t=jnp.where(is_add, 1.0, -1.0).astype(dtype),
         x_star=jnp.abs(delta_x),
     )
-    return events_out, state_out, logp_out, info
+    if commute is None:
+        return events_out, state_out, logp_out, info
+    return events_out, state_out, commute, logp_out, info

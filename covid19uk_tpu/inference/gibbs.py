@@ -91,6 +91,14 @@ class EventKernelConfig(NamedTuple):
     # from mmax: each pair proposal costs 2 windowed deltas per location.
     num_pair_updates: int = 1
     pair_mmax: int = 1
+    # Thread the per-draw commute = Cstar @ (I/N) through the event sweep
+    # (windowed deltas slice it instead of recomputing the [M,M]@[M,window]
+    # product per eval; accepted E->I perturbations rank-1-update it).
+    # "auto" threads at M >= 1024: measured same-session on v5e, threading
+    # is 1.13x at M=7000/C=1 (the product dominates) but 0.95x at
+    # M=380/C=16 (the product is tiny; the [C,M,T] carry extension and the
+    # rank-1 full-T updates cost more than they save).  True/False force.
+    thread_commute: object = "auto"
 
 
 def make_mcmc_step(
@@ -114,6 +122,8 @@ def make_mcmc_step(
     cfg = event_config
     T = model.num_steps
     M = model.data.num_locations
+    if cfg.thread_commute == "auto":
+        cfg = cfg._replace(thread_commute=M >= 1024)
     move_window = min(cfg.dmax + 1, T)
     if not (0 <= cfg.t_range[0] < cfg.t_range[1] <= T):
         raise ValueError(
@@ -176,35 +186,57 @@ def make_mcmc_step(
             return jnp.log(jnp.maximum(jnp.sum(st[..., 2]), 1.0))
 
         def sweep(carry, k):
-            events, st, logp, g0, rate_ir_t = carry
+            events, st, commute_carry, logp, g0, rate_ir_t = carry
+            # The per-draw commute (parameter-independent) is threaded
+            # through every kernel: windowed deltas *slice* it instead of
+            # recomputing the [M,M]@[M,window] product per eval (the
+            # dominant FLOPs of the sweep at MSOA scale), and accepted
+            # E->I perturbations keep it live via rank-1 updates.  The
+            # unthreaded variant (the A/B knob) passes None and kernels
+            # return the shorter tuples; unpack() normalizes arity.
+            commute_live = commute_carry if cfg.thread_commute else None
+
+            def unpack(res):
+                if cfg.thread_commute:
+                    return res  # (ev, st, commute, logp, info)
+                ev, st_, lp, info = res
+                return ev, st_, None, lp, info
+
             # gamma0 may have moved last iteration — refresh the context's
             # I->R rates so every windowed delta sees the live value.
             ctx = ctx0._replace(rate_ir_t=rate_ir_t)
             move_eval = WindowedEvaluator(ctx=ctx, window=move_window)
             occ_eval = WindowedEvaluator(ctx=ctx, window=occult_window)
             ka, kb, kc, kd, ke, kf = jax.random.split(k, 6)
-            events, st, logp, i_mse = event_move_step(
+            events, st, commute_live, logp, i_mse = unpack(event_move_step(
                 ka, events, st, logp, move_eval, 0,
                 cfg.dmax, cfg.mmax, cfg.nmax, cfg.move_decay, cfg.x_decay,
-            )
-            events, st, logp, i_mei = event_move_step(
+                commute=commute_live,
+            ))
+            events, st, commute_live, logp, i_mei = unpack(event_move_step(
                 kb, events, st, logp, move_eval, 1,
                 cfg.dmax, cfg.mmax, cfg.nmax, cfg.move_decay, cfg.x_decay,
-            )
-            events, st, logp, i_ose = occult_step(
+                commute=commute_live,
+            ))
+            events, st, commute_live, logp, i_ose = unpack(occult_step(
                 kc, events, st, logp, occ_eval, 0,
                 cfg.t_range, cfg.occult_nmax, cfg.x_decay,
-            )
-            events, st, logp, i_oei = occult_step(
+                commute=commute_live,
+            ))
+            events, st, commute_live, logp, i_oei = unpack(occult_step(
                 kd, events, st, logp, occ_eval, 1,
                 cfg.t_range, cfg.occult_nmax, cfg.x_decay,
-            )
+                commute=commute_live,
+            ))
             if cfg.num_pair_updates > 0:
                 for kp in jax.random.split(kf, cfg.num_pair_updates):
-                    events, st, logp, i_pair = pair_move_step(
-                        kp, events, st, logp, move_eval,
-                        cfg.dmax, cfg.pair_mmax, cfg.nmax, cfg.move_decay,
-                        cfg.x_decay,
+                    events, st, commute_live, logp, i_pair = unpack(
+                        pair_move_step(
+                            kp, events, st, logp, move_eval,
+                            cfg.dmax, cfg.pair_mmax, cfg.nmax,
+                            cfg.move_decay, cfg.x_decay,
+                            commute=commute_live,
+                        )
                     )
             else:
                 i_pair = EventMoveInfo(
@@ -244,12 +276,16 @@ def make_mcmc_step(
                         d_prior = -0.5 * (g_new**2 - g**2) / 100.0**2
                         return d_ir + d_prior
 
-                    events, st, logp, g0, i_cmp = compensated_move_step(
+                    res = compensated_move_step(
                         kk, events, st, logp, cur_eval, g0, potential,
                         gamma_delta, 1,
                         cfg.dmax, cfg.mmax, cfg.nmax, cfg.move_decay,
-                        cfg.x_decay,
+                        cfg.x_decay, commute=commute_live,
                     )
+                    if cfg.thread_commute:
+                        events, st, commute_live, logp, g0, i_cmp = res
+                    else:
+                        events, st, logp, g0, i_cmp = res
                 rate_ir_t = rate_ir_t * jnp.exp(g0 - g0_before)
             else:
                 i_cmp = EventMoveInfo(
@@ -260,14 +296,18 @@ def make_mcmc_step(
                     delta_t=jnp.zeros((cfg.mmax,), dtype),
                     x_star=jnp.zeros((cfg.mmax,), dtype),
                 )
-            return (events, st, logp, g0, rate_ir_t), (
+            commute_out = (
+                commute_live if cfg.thread_commute else commute_carry
+            )
+            return (events, st, commute_out, logp, g0, rate_ir_t), (
                 i_mse, i_mei, i_ose, i_oei, i_cmp, i_pair,
             )
 
         scan_keys = jax.random.split(k_events, cfg.num_event_time_updates)
-        (events_new, _, _, g0_new, _), infos = jax.lax.scan(
+        (events_new, _, _, _, g0_new, _), infos = jax.lax.scan(
             sweep,
-            (state.events, full_state, logp0, g0_init, ctx0.rate_ir_t),
+            (state.events, full_state, commute, logp0, g0_init,
+             ctx0.rate_ir_t),
             scan_keys,
         )
         u_new = u_new.at[3].set(g0_new)

@@ -25,6 +25,19 @@ Two interchangeable implementations of the same contract:
 
 Evaluators consume a ``state`` tensor [M, T, S] threaded alongside the
 events and kept incrementally consistent via :func:`apply_event_delta`.
+
+**Threaded commute (optional, the production path).**  The commuting
+pressure ``commute = Cstar @ (state[..., 2] / N)`` is parameter-independent
+and changes only by a rank-1 column update when an E->I event moves, yet
+it was recomputed from scratch ([M,M] @ [M,window] matmul) inside every
+windowed E->I delta — the dominant FLOPs of the event sweep at MSOA scale.
+Callers may instead compute it once per draw (the Gibbs driver already
+does, for the HMC leapfrog hoist) and thread it through the kernels via
+the ``commute=`` keyword: evaluators then *slice* it, and
+:meth:`WindowedEvaluator.apply_commute` keeps it consistent with the
+state under accepted moves.  ``commute=None`` (default) recomputes on the
+fly — bitwise the pre-threading behavior, used by unit tests and the
+frozen naive baseline.
 """
 
 from typing import Callable, NamedTuple
@@ -144,7 +157,8 @@ class WindowedEvaluator(NamedTuple):
     ctx: LikelihoodContext
     window: int  # static: dmax + 1 for moves; t_range length for occults
 
-    def _delta(self, events, state, loc, s, k, t_from, t_to, x, occult):
+    def _delta(self, events, state, loc, s, k, t_from, t_to, x, occult,
+               commute=None):
         """Shared windowed delta: slice [s, s+W) along time.
 
         The "new" window slices are reconstructed locally from the move
@@ -187,11 +201,14 @@ class WindowedEvaluator(NamedTuple):
 
         if k == 0:
             # rate_se at the loc row over the window (I unchanged):
-            I_cols = tsl(state[..., 2], 1)  # [M, W]
-            commute = ctx.Cstar[loc] @ (I_cols / ctx.N[:, None])  # [W]
+            if commute is not None:
+                commute_row = tsl(commute[loc], 0)  # [W]
+            else:
+                I_cols = tsl(state[..., 2], 1)  # [M, W]
+                commute_row = ctx.Cstar[loc] @ (I_cols / ctx.N[:, None])
             rate_se = (
                 tsl(ctx.exp_eta[loc], 0)
-                * (row_old[:, 2] + tsl(ctx.psi_w, 0) * commute)
+                * (row_old[:, 2] + tsl(ctx.psi_w, 0) * commute_row)
                 / ctx.N[loc]
                 + RATE_EPS
             )
@@ -211,7 +228,9 @@ class WindowedEvaluator(NamedTuple):
         I_old = tsl(state[..., 2], 1)  # [M, W]
         dI_row = x * w_p * jnp.asarray(_STOICH[1][2], dtype)  # [W]
         I_new = I_old.at[loc].add(dI_row)
-        if ctx.Cstar_bsr is not None:
+        if commute is not None:
+            commute_old = tsl(commute, 1)  # [M, W] — just a slice
+        elif ctx.Cstar_bsr is not None:
             commute_old = ctx.Cstar_bsr.matmul(I_old / ctx.N[:, None])
         else:
             commute_old = ctx.Cstar @ (I_old / ctx.N[:, None])
@@ -236,16 +255,40 @@ class WindowedEvaluator(NamedTuple):
         ) + binomial_log_pmf_from_rate(row_new[:, 2], evrow_new[:, 2], rate_ir)
         return delta + jnp.sum(lp_new - lp_old)
 
-    def move_delta(self, events, state, loc, t_from, t_to, x, k):
+    def move_delta(self, events, state, loc, t_from, t_to, x, k,
+                   commute=None):
         """Delta log-lik for moving x events of transition k, loc row,
         from t_from to t_to — evaluated from the *pre-move* tensors."""
         T = events.shape[-2]
         s = jnp.clip(jnp.minimum(t_from, t_to), 0, T - self.window)
         return self._delta(
-            events, state, loc, s, k, t_from, t_to, x, occult=False
+            events, state, loc, s, k, t_from, t_to, x, occult=False,
+            commute=commute,
         )
 
-    def joint_move_delta(self, events, state, locs, t_from, t_to, xs, k):
+    def apply_commute(self, commute, loc, t_from, t_to, x, k, occult=False):
+        """Keeps a threaded ``commute = Cstar @ (I/N)`` consistent with an
+        applied event delta: a rank-1 column update when the delta touches
+        I (k == 1; E->I moves/occults), a no-op otherwise.  Mirrors
+        :func:`apply_event_delta`'s state update (same ``w`` indicator;
+        occult ``x`` is signed); linear in x, so the revert-if-rejected
+        inverse applies identically."""
+        if commute is None or k != 1:
+            return commute
+        ctx = self.ctx
+        T = commute.shape[-1]
+        dtype = commute.dtype
+        ts = jnp.arange(T)
+        if occult:
+            w = (ts > t_to).astype(dtype)
+        else:
+            w = (ts > t_to).astype(dtype) - (ts > t_from).astype(dtype)
+        return commute + ctx.Cstar[:, loc][:, None] * (
+            (x / ctx.N[loc]) * w
+        )[None, :]
+
+    def joint_move_delta(self, events, state, locs, t_from, t_to, xs, k,
+                         commute=None):
         """Exact total delta for applying ALL L moves at once (one eval).
 
         ``locs [L]`` must be distinct (the kernels sample without
@@ -271,7 +314,7 @@ class WindowedEvaluator(NamedTuple):
 
         if k == 0:
             f = lambda loc, t_f, t_d, x: self.move_delta(
-                events, state, loc, t_f, t_d, x, 0
+                events, state, loc, t_f, t_d, x, 0, commute=commute
             )
             return jnp.sum(jax.vmap(f)(locs, t_from, t_to, xs))
 
@@ -302,11 +345,14 @@ class WindowedEvaluator(NamedTuple):
             locs[:, None] == jnp.arange(events.shape[0])[None, :]
         ).astype(dtype)  # [j, M]
         I_new = I_old + jnp.einsum("jm,jlw->lmw", onehot, add)
-        ion = I_old / ctx.N[None, :, None]
-        if ctx.Cstar_bsr is not None:
-            commute_old = jax.vmap(ctx.Cstar_bsr.matmul)(ion)
+        if commute is not None:
+            commute_old = wslices(commute)  # [L, M, W] — just slices
         else:
-            commute_old = jnp.einsum("mn,lnw->lmw", ctx.Cstar, ion)
+            ion = I_old / ctx.N[None, :, None]
+            if ctx.Cstar_bsr is not None:
+                commute_old = jax.vmap(ctx.Cstar_bsr.matmul)(ion)
+            else:
+                commute_old = jnp.einsum("mn,lnw->lmw", ctx.Cstar, ion)
         commute_new = commute_old + jnp.einsum(
             "mj,jlw->lmw",
             ctx.Cstar[:, locs],
@@ -361,7 +407,8 @@ class WindowedEvaluator(NamedTuple):
         delta += jnp.sum(jax.vmap(row_term)(locs, s, t_from, t_to, xs))
         return delta
 
-    def occult_delta(self, events, state, loc, t, x_signed, k):
+    def occult_delta(self, events, state, loc, t, x_signed, k,
+                     commute=None):
         """Delta log-lik for adding/deleting ``|x_signed|`` occult events of
         transition k at (loc, t) — evaluated from the pre-update tensors.
 
@@ -372,7 +419,8 @@ class WindowedEvaluator(NamedTuple):
         T = events.shape[-2]
         s = jnp.asarray(T - self.window)
         return self._delta(
-            events, state, loc, s, k, t, t, x_signed, occult=True
+            events, state, loc, s, k, t, t, x_signed, occult=True,
+            commute=commute,
         )
 
 
@@ -383,19 +431,27 @@ class FullEvaluator(NamedTuple):
 
     logp_fn: Callable  # events -> scalar
 
-    def move_delta(self, events, state, loc, t_from, t_to, x, k):
+    def move_delta(self, events, state, loc, t_from, t_to, x, k,
+                   commute=None):
         events_new, _ = apply_event_delta(
             events, state, loc, t_from, t_to, x, k
         )
         return self.logp_fn(events_new) - self.logp_fn(events)
 
-    def joint_move_delta(self, events, state, locs, t_from, t_to, xs, k):
+    def apply_commute(self, commute, loc, t_from, t_to, x, k, occult=False):
+        """No-op: full re-evaluation never consults a threaded commute
+        (callers pass ``commute=None`` with this evaluator)."""
+        return commute
+
+    def joint_move_delta(self, events, state, locs, t_from, t_to, xs, k,
+                         commute=None):
         events_new, _ = apply_event_deltas(
             events, state, locs, t_from, t_to, xs, k
         )
         return self.logp_fn(events_new) - self.logp_fn(events)
 
-    def occult_delta(self, events, state, loc, t, x_signed, k):
+    def occult_delta(self, events, state, loc, t, x_signed, k,
+                     commute=None):
         events_new, _ = apply_event_delta(
             events, state, loc, t, t, x_signed, k, occult=True
         )

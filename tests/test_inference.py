@@ -809,3 +809,146 @@ def test_pair_move_conserves_totals_on_real_model(rng):
         float(lp_out), float(logp_fn(ev_out)), rtol=1e-9
     )
     assert np.asarray(acc).mean() > 0.02  # the kernel moves
+
+
+def test_threaded_commute_matches_full(rng):
+    """The production fast path — a per-draw commute threaded through every
+    kernel (sliced by the windowed deltas, rank-1-updated on apply/revert) —
+    must produce the same chains as full re-evaluation, and the threaded
+    commute must stay consistent with the state (gibbs.py recomputes it
+    each draw; within a draw it evolves incrementally)."""
+    from covid19uk_tpu.inference.event_kernels import pair_move_step
+    from covid19uk_tpu.models.spec import CovidUK
+    from covid19uk_tpu.models import seir
+    from tests.test_spec import make_test_data, make_test_params
+
+    M, T = 6, 16
+    data = make_test_data(rng, M, T)
+    params = make_test_params(rng, M, T)
+    N = np.asarray(data.N)
+    init = np.stack(
+        [N - 60, np.full(M, 25.0), np.full(M, 35.0), np.zeros(M)], -1
+    )
+    model = CovidUK(data, jnp.asarray(init, jnp.float64), 0, T)
+    events = model.sample_seir(jax.random.PRNGKey(8), params)
+    st0 = seir.compute_state(model.initial_state, events)
+    cm0 = model.commute_pressure(st0[..., 2])
+
+    logp_fn = lambda ev: model.log_prob(params, ev)
+    logp = logp_fn(events)
+    fe = FullEvaluator(logp_fn=logp_fn)
+    ctx = make_context(model, params)
+    t_range = (T - 6, T)
+    we_move = WindowedEvaluator(ctx=ctx, window=min(5 + 1, T))
+    we_occ = WindowedEvaluator(ctx=ctx, window=T - t_range[0])
+
+    def full_chain():
+        def body(carry, key):
+            ev, st, lp = carry
+            k1, k2, k3, k4, k5 = jax.random.split(key, 5)
+            ev, st, lp, i1 = event_move_step(k1, ev, st, lp, fe, 0, 5, 2, 10)
+            ev, st, lp, i2 = event_move_step(k2, ev, st, lp, fe, 1, 5, 2, 10)
+            ev, st, lp, i3 = occult_step(k3, ev, st, lp, fe, 0, t_range, 5)
+            ev, st, lp, i4 = occult_step(k4, ev, st, lp, fe, 1, t_range, 5)
+            ev, st, lp, i5 = pair_move_step(k5, ev, st, lp, fe, 5, 2, 10)
+            acc = jnp.stack([i.is_accepted for i in (i1, i2, i3, i4, i5)])
+            return (ev, st, lp), (lp, acc)
+
+        keys = jax.random.split(jax.random.PRNGKey(9), 300)
+        return jax.lax.scan(body, (events, st0, logp), keys)
+
+    def threaded_chain():
+        def body(carry, key):
+            ev, st, cm, lp = carry
+            k1, k2, k3, k4, k5 = jax.random.split(key, 5)
+            ev, st, cm, lp, i1 = event_move_step(
+                k1, ev, st, lp, we_move, 0, 5, 2, 10, commute=cm
+            )
+            ev, st, cm, lp, i2 = event_move_step(
+                k2, ev, st, lp, we_move, 1, 5, 2, 10, commute=cm
+            )
+            ev, st, cm, lp, i3 = occult_step(
+                k3, ev, st, lp, we_occ, 0, t_range, 5, commute=cm
+            )
+            ev, st, cm, lp, i4 = occult_step(
+                k4, ev, st, lp, we_occ, 1, t_range, 5, commute=cm
+            )
+            ev, st, cm, lp, i5 = pair_move_step(
+                k5, ev, st, lp, we_move, 5, 2, 10, commute=cm
+            )
+            acc = jnp.stack([i.is_accepted for i in (i1, i2, i3, i4, i5)])
+            return (ev, st, cm, lp), (lp, acc)
+
+        keys = jax.random.split(jax.random.PRNGKey(9), 300)
+        return jax.lax.scan(body, (events, st0, cm0, logp), keys)
+
+    (ev_f, _, lp_f), (lps_f, acc_f) = full_chain()
+    (ev_w, st_w, cm_w, lp_w), (lps_w, acc_w) = threaded_chain()
+
+    np.testing.assert_array_equal(np.asarray(acc_f), np.asarray(acc_w))
+    np.testing.assert_array_equal(np.asarray(ev_f), np.asarray(ev_w))
+    np.testing.assert_allclose(
+        np.asarray(lps_f), np.asarray(lps_w), rtol=1e-9, atol=1e-7
+    )
+    # the threaded commute stays consistent with the threaded state
+    cm_re = model.commute_pressure(st_w[..., 2])
+    np.testing.assert_allclose(
+        np.asarray(cm_w), np.asarray(cm_re), rtol=1e-8, atol=1e-10
+    )
+    assert np.asarray(acc_f).mean(0).min() > 0.01
+
+
+def test_gibbs_step_threading_parity(rng):
+    """make_mcmc_step with thread_commute forced on vs off: identical
+    chains from identical keys (the auto gate only picks the faster of two
+    equivalent programs)."""
+    from covid19uk_tpu.inference.gibbs import (
+        ChainState, EventKernelConfig, HMCTunables, make_mcmc_step,
+    )
+    from covid19uk_tpu.models.spec import CovidUK
+    from covid19uk_tpu.models import seir
+    from tests.test_spec import make_test_data, make_test_params
+
+    M, T = 5, 14
+    data = make_test_data(rng, M, T)
+    params = make_test_params(rng, M, T)
+    N = np.asarray(data.N)
+    init = np.stack(
+        [N - 60, np.full(M, 25.0), np.full(M, 35.0), np.zeros(M)], -1
+    )
+    model = CovidUK(data, jnp.asarray(init, jnp.float64), 0, T)
+    events = model.sample_seir(jax.random.PRNGKey(3), params)
+    from covid19uk_tpu.models.spec import pack_parameters, \
+        unconstrain_parameters
+
+    u0 = unconstrain_parameters(pack_parameters(params))
+    state0 = ChainState(u=u0, events=events)
+    tune = HMCTunables(
+        step_size=jnp.asarray(0.01, jnp.float64),
+        inv_mass_diag=jnp.ones_like(u0),
+    )
+    base = dict(dmax=5, mmax=2, nmax=10, occult_nmax=5,
+                num_event_time_updates=3, t_range=(T - 5, T),
+                num_pair_updates=1)
+    outs = []
+    keys = jax.random.split(jax.random.PRNGKey(11), 30)
+    for tc in (True, False):
+        step = make_mcmc_step(
+            model, 4, EventKernelConfig(**base, thread_commute=tc)
+        )
+
+        @jax.jit
+        def chain(st):
+            def body(st, k):
+                st, _ = step(k, st, tune)
+                return st, None
+
+            return jax.lax.scan(body, st, keys)[0]
+
+        outs.append(chain(state0))
+    np.testing.assert_array_equal(
+        np.asarray(outs[0].events), np.asarray(outs[1].events)
+    )
+    np.testing.assert_allclose(
+        np.asarray(outs[0].u), np.asarray(outs[1].u), rtol=1e-9
+    )
