@@ -1,0 +1,258 @@
+"""Long-run soak at full-UK scale with a mid-run kill + resume.
+
+Reference operational practice is ~200k MCMC iterations on the UK model
+(/root/reference/doc/lancs_space_model_concept.tex:325-329); the longest
+runs committed so far were ~1k-draw bench bursts.  This soak demonstrates
+the production driver at the reference's operating point:
+
+  * 4 chains x (1825 warmup + 50,000 sampling draws) at M=380, T=120
+    (synthetic gravity covariates, thin=50 -> 1,000 stored event draws);
+  * the inference process is SIGKILLed mid-sampling and restarted — the
+    burst-granular checkpoint must resume without losing or duplicating
+    store rows, and the pre-kill rows must be byte-identical afterwards;
+  * host RSS is polled throughout — no leak across 500+ bursts;
+  * per-burst acceptance/ESS trends from the JSONL run log must be stable
+    (first-quarter vs last-quarter drift bounded).
+
+Writes docs/soak_fulluk.md.  Usage:
+
+  python tools/soak_fulluk.py [--workdir /tmp/soak] [--bursts 500]
+      [--kill-at-burst 200]
+"""
+
+import argparse
+import hashlib
+import json
+import os
+import signal
+import subprocess
+import sys
+import time
+
+import numpy as np
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+WARMUP_TOTAL = 1825
+
+
+def rss_mb(pid):
+    try:
+        with open(f"/proc/{pid}/statm") as f:
+            return int(f.read().split()[1]) * os.sysconf("SC_PAGESIZE") / 1e6
+    except (FileNotFoundError, ProcessLookupError):
+        return None
+
+
+def count_bursts(log_path):
+    n = 0
+    try:
+        with open(log_path) as f:
+            for line in f:
+                if '"burst"' in line and '"event": "burst"' in line:
+                    n += 1
+    except FileNotFoundError:
+        pass
+    return n
+
+
+def store_hash(post_h5, rows, datasets=("samples/gamma0", "samples/psi")):
+    """Hash the first `rows` rows of a few datasets (bitwise resume check)."""
+    import h5py
+
+    h = hashlib.sha256()
+    with h5py.File(post_h5, "r") as f:
+        for name in datasets:
+            h.update(np.ascontiguousarray(f[name][:rows]).tobytes())
+    return h.hexdigest()
+
+
+def launch(config_path, data_h5, post_h5, out_log):
+    return subprocess.Popen(
+        [sys.executable, "-m", "covid19uk_tpu.inference.inference",
+         "-c", config_path, "-o", post_h5, data_h5],
+        cwd=REPO, stdout=out_log, stderr=subprocess.STDOUT,
+    )
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("--workdir", default="/tmp/soak")
+    p.add_argument("--bursts", type=int, default=500)
+    p.add_argument("--burst-samples", type=int, default=100)
+    p.add_argument("--thin", type=int, default=50)
+    p.add_argument("--chains", type=int, default=4)
+    p.add_argument("--kill-at-burst", type=int, default=200)
+    p.add_argument("--out", default="docs/soak_fulluk.md")
+    args = p.parse_args()
+
+    import yaml
+
+    wd = args.workdir
+    os.makedirs(wd, exist_ok=True)
+    data_h5 = os.path.join(wd, "inferencedata.h5")
+    post_h5 = os.path.join(wd, "posterior.h5")
+    ckpt = os.path.join(wd, "posterior.ckpt.npz")
+    run_log = os.path.join(wd, "run_log.jsonl")
+    config_path = os.path.join(wd, "config.yaml")
+
+    if not os.path.exists(data_h5):
+        subprocess.run(
+            [sys.executable, "tools/make_synthetic_data.py", data_h5,
+             "-M", "380", "-T", "120", "--seed", "5"],
+            cwd=REPO, check=True,
+        )
+
+    cfg = {"Mcmc": dict(
+        dmax=84, nmax=25, m=2, occult_nmax=15, num_event_time_updates=5,
+        num_bursts=args.bursts, num_burst_samples=args.burst_samples,
+        thin=args.thin, num_chains=args.chains, num_pair_updates=1,
+        dtype="float32", seed=11, checkpoint=ckpt, log_file=run_log,
+    )}
+    with open(config_path, "w") as f:
+        yaml.safe_dump(cfg, f)
+
+    rss_trace = []  # (wall_s, phase, rss_mb)
+    t_start = time.time()
+
+    def babysit(proc, phase, kill_at=None):
+        """Polls RSS + burst count; optionally SIGKILLs at a burst index."""
+        killed = False
+        while proc.poll() is None:
+            time.sleep(5.0)
+            r = rss_mb(proc.pid)
+            if r is not None:
+                rss_trace.append((round(time.time() - t_start, 1), phase, r))
+            if kill_at is not None and not killed:
+                if count_bursts(run_log) >= kill_at:
+                    print(f"SOAK: killing pid {proc.pid} at burst "
+                          f">={kill_at}", flush=True)
+                    proc.send_signal(signal.SIGKILL)
+                    killed = True
+        return killed
+
+    # ---- phase 1: run until the mid-run kill ------------------------------
+    with open(os.path.join(wd, "phase1.log"), "w") as lf:
+        p1 = launch(config_path, data_h5, post_h5, lf)
+        killed = babysit(p1, "phase1", kill_at=args.kill_at_burst)
+    if not killed:
+        raise SystemExit(
+            f"phase 1 exited (rc={p1.returncode}) before burst "
+            f"{args.kill_at_burst} — see {wd}/phase1.log"
+        )
+    if not os.path.exists(ckpt):
+        raise SystemExit("no checkpoint written before the kill")
+
+    # Snapshot: rows covered by the checkpoint, their hash.
+    ck = np.load(ckpt, allow_pickle=True)
+    offset_at_kill = int(ck["offset"])
+    pre_kill_hash = store_hash(post_h5, offset_at_kill)
+    print(f"SOAK: killed with checkpoint offset {offset_at_kill}; "
+          f"hash {pre_kill_hash[:16]}", flush=True)
+
+    # ---- phase 2: resume to completion -------------------------------------
+    with open(os.path.join(wd, "phase2.log"), "w") as lf:
+        p2 = launch(config_path, data_h5, post_h5, lf)
+        babysit(p2, "phase2")
+    if p2.returncode != 0:
+        raise SystemExit(f"resume failed rc={p2.returncode} — "
+                         f"see {wd}/phase2.log")
+
+    # ---- validation ---------------------------------------------------------
+    import h5py
+
+    expected_rows = WARMUP_TOTAL + args.bursts * (
+        args.burst_samples // args.thin
+    )
+    with h5py.File(post_h5, "r") as f:
+        rows = f["samples/gamma0"].shape[0]
+        gamma0 = np.asarray(f["samples/gamma0"][WARMUP_TOTAL:], np.float64)
+        finite = all(
+            np.isfinite(np.asarray(f[f"samples/{s}"][WARMUP_TOTAL:])).all()
+            for s in ["psi", "gamma0", "alpha_0"]
+        )
+    post_hash = store_hash(post_h5, offset_at_kill)
+    bitwise_ok = post_hash == pre_kill_hash
+    rows_ok = rows == expected_rows
+
+    # acceptance / throughput trends from the run log
+    bursts = []
+    with open(run_log) as f:
+        for line in f:
+            ev = json.loads(line)
+            if ev.get("event") == "burst":
+                bursts.append(ev)
+    acc = np.array([b["hmc_accept"] for b in bursts], np.float64)
+    rate = np.array([b["draws_per_sec"] for b in bursts], np.float64)
+    q = max(len(acc) // 4, 1)
+    acc_drift = float(acc[-q:].mean() - acc[:q].mean())
+    rate_ratio = float(rate[-q:].mean() / rate[:q].mean())
+
+    # RSS trend within phase 2 (the long phase)
+    r2 = np.array([r for _, ph, r in rss_trace if ph == "phase2"])
+    rss_growth = float(r2[-max(len(r2) // 4, 1):].mean()
+                       / r2[:max(len(r2) // 4, 1)].mean()) if len(r2) > 8 else 1.0
+
+    # cross-chain convergence on the sampling draws
+    sys.path.insert(0, REPO)
+    from covid19uk_tpu.parallel.diagnostics import gate_statistics
+
+    chains = gamma0.T[..., None] if gamma0.ndim == 2 else gamma0[None, :, None]
+    rhat, ess = gate_statistics(chains)
+
+    checks = [
+        ("store rows exact (no loss/duplication across kill+resume)",
+         f"{rows} == {expected_rows}", rows_ok),
+        ("pre-kill rows bitwise identical after resume",
+         post_hash[:16], bitwise_ok),
+        ("all scalar draws finite", str(finite), bool(finite)),
+        ("HMC acceptance drift (last vs first quarter)",
+         f"{acc_drift:+.4f}", abs(acc_drift) < 0.1),
+        ("throughput ratio (last vs first quarter)",
+         f"{rate_ratio:.3f}", rate_ratio > 0.8),
+        ("host RSS growth (last vs first quarter of resume phase)",
+         f"{rss_growth:.3f}x", rss_growth < 1.15),
+    ]
+
+    total_draws = args.bursts * args.burst_samples
+    lines = [
+        "# Full-UK long-run soak (kill + resume)",
+        "",
+        f"4 chains x ({WARMUP_TOTAL} warmup + {total_draws:,} sampling "
+        "draws) at M=380, T=120 (synthetic gravity covariates, "
+        f"thin={args.thin}); the inference process was **SIGKILLed at "
+        f"burst {args.kill_at_burst}** of {args.bursts} and restarted "
+        "from the burst-granular checkpoint. Reference operational "
+        "practice is ~200k iterations (lancs_space_model_concept.tex:"
+        "325-329); the reference loses the whole run on preemption.",
+        "",
+        "| check | value | pass |",
+        "|---|---|---|",
+    ]
+    for name, val, ok in checks:
+        lines.append(f"| {name} | {val} | {'✅' if ok else '❌'} |")
+    lines += [
+        "",
+        f"- gamma0 over the sampling phase: split R-hat "
+        f"**{rhat:.4f}**, pooled bulk ESS **{ess:.0f}** "
+        "(thinned draws, 4 chains)",
+        f"- mean HMC acceptance {acc.mean():.3f}; mean throughput "
+        f"{rate.mean():.1f} draws/sec (chain-draws/sec, 4 chains)",
+        f"- wall: {rss_trace[-1][0] / 60:.1f} min total "
+        "(both phases, including compile)",
+        f"- peak host RSS {max(r for _, _, r in rss_trace):.0f} MB",
+        "",
+        "Reproduce: `python tools/soak_fulluk.py`",
+        "",
+    ]
+    out = os.path.join(REPO, args.out)
+    with open(out, "w") as f:
+        f.write("\n".join(lines))
+    print(f"wrote {out}", flush=True)
+    for name, val, ok in checks:
+        print(f"{'PASS' if ok else 'FAIL'}: {name} = {val}", flush=True)
+    if not all(ok for *_, ok in checks):
+        sys.exit(1)
+
+
+if __name__ == "__main__":
+    main()
