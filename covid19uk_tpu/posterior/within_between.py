@@ -67,10 +67,14 @@ def within_between(input_files, output_file):
     with open(input_files[1], "rb") as f:
         samples = pkl.load(f)
 
-    data = ModelData.create(covar.variables, jnp.float64, sparse=False)
-    psi = jnp.asarray(samples["psi"], jnp.float64)
-    events = jnp.asarray(samples["seir"], jnp.float64)
-    init_state = jnp.asarray(samples["initial_state"], jnp.float64)
+    # Ambient precision: f64 where x64 is enabled (the CPU test rig, the
+    # reference's precision), f32 on the TPU runtime — requesting f64
+    # there would silently truncate with a warning per array.
+    dtype = jnp.float64 if jax.config.jax_enable_x64 else jnp.float32
+    data = ModelData.create(covar.variables, dtype, sparse=False)
+    psi = jnp.asarray(samples["psi"], dtype)
+    events = jnp.asarray(samples["seir"], dtype)
+    init_state = jnp.asarray(samples["initial_state"], dtype)
 
     state = seir.compute_state(init_state, events)
     within, between = calc_pressure_components(data, psi, state[..., -1, :])
