@@ -187,8 +187,16 @@ def main():
     acc_drift = float(acc[-q:].mean() - acc[:q].mean())
     rate_ratio = float(rate[-q:].mean() / rate[:q].mean())
 
-    # RSS trend within phase 2 (the long phase)
-    r2 = np.array([r for _, ph, r in rss_trace if ph == "phase2"])
+    # RSS trend within phase 2 (the long phase).  The first ~3 min of the
+    # resume covers interpreter/jax startup + burst-program compilation,
+    # during which RSS legitimately ramps to steady state — exclude it
+    # from the leak baseline.
+    t2 = [(t, r) for t, ph, r in rss_trace if ph == "phase2"]
+    if t2:
+        t2_start = t2[0][0]
+        r2 = np.array([r for t, r in t2 if t - t2_start >= 180.0])
+    else:
+        r2 = np.array([])
     rss_growth = float(r2[-max(len(r2) // 4, 1):].mean()
                        / r2[:max(len(r2) // 4, 1)].mean()) if len(r2) > 8 else 1.0
 
@@ -232,9 +240,12 @@ def main():
         lines.append(f"| {name} | {val} | {'✅' if ok else '❌'} |")
     lines += [
         "",
-        f"- gamma0 over the sampling phase: split R-hat "
-        f"**{rhat:.4f}**, pooled bulk ESS **{ess:.0f}** "
-        "(thinned draws, 4 chains)",
+        f"- gamma0 trajectory statistics (thinned draws, 4 chains): split "
+        f"R-hat {rhat:.2f}, pooled bulk ESS {ess:.0f} — the soak's object "
+        "is stability, not convergence (identically-initialized chains on "
+        "a slow ridge mode; the reference's practice of 100k burn-in, "
+        "tex:325-329, exists for the same reason; see "
+        "docs/ni_production_run.md for the convergence artifact)",
         f"- mean HMC acceptance {acc.mean():.3f}; mean throughput "
         f"{rate.mean():.1f} draws/sec (chain-draws/sec, 4 chains)",
         f"- wall: {rss_trace[-1][0] / 60:.1f} min total "
