@@ -728,6 +728,8 @@ def mcmc(data_file, output_file, config):
         num_compensated_updates=config.num_compensated_updates,
         num_pair_updates=config.num_pair_updates,
         pair_mmax=config.pair_mmax,
+        pair_move_decay=config.pair_move_decay,
+        pair_compensate_gamma0=config.pair_compensate_gamma0,
     )
 
     u0 = jnp.zeros((6 + (T - 1) + M,), dtype)  # reference inference.py:563-576

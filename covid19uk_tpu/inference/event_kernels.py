@@ -420,60 +420,41 @@ def compensated_move_step(
     return ev_cur, st_cur, commute, logp_out, gamma_out, info
 
 
-def pair_move_step(
+class _PairProposal(NamedTuple):
+    """Internals of one episode-translation proposal, shared by the plain
+    and the gamma0-compensated pair kernels."""
+
+    events: jnp.ndarray  # proposed tensors (both moves applied)
+    state: jnp.ndarray
+    delta_lp: jnp.ndarray  # likelihood delta at fixed parameters
+    hastings: jnp.ndarray
+    locs: jnp.ndarray  # [mmax]
+    t1: jnp.ndarray  # [mmax] S->E source times
+    t2: jnp.ndarray  # [mmax] E->I source times
+    t1_dst: jnp.ndarray
+    t2_dst: jnp.ndarray
+    d: jnp.ndarray  # [mmax] displacements
+    x_eff: jnp.ndarray  # [mmax]
+    commute: jnp.ndarray = None
+
+
+def _propose_pairs(
     key,
     events,
     state,
-    current_logp,
     evaluator,
     dmax: int,
     mmax: int,
     nmax: int,
-    move_decay: float = 0.9,
-    x_decay: float = 1.0,
+    move_decay: float,
+    x_decay: float,
     commute=None,
 ):
-    """Translates infection *episodes*: moves x S->E events at t1 AND x
-    E->I events at t2 (same location) by the same displacement d, jointly.
-
-    Motivation: the min-scalar ESS bottleneck is the infectious person-time
-    PT = sum I (gamma0 tracks -log PT), and PT only changes when E->I times
-    move.  Measured penalty decomposition of single E->I moves at NI scale:
-    the E->I (NU-sojourn) binomial term dominates (-0.8..-2.2 median
-    log-lik for |d| = 1..8) because moving an E->I event breaks the E
-    occupancy implied by its upstream S->E event.  Moving the *pair*
-    preserves the sojourn structure (the E window [t1, t2) translates), so
-    the same |d| costs a median -0.9..+1.6 — large PT steps become
-    acceptable.
-
-    Proposal, per chosen location (uniform without replacement):
-      t2 ~ Uniform{t : events[loc, t, 1] > 0}          (null if none)
-      t1 ~ Uniform{t <= t2 : events[loc, t, 0] > 0}    (null if none)
-      d  ~ truncated two-sided geometric on
-           {-min(dmax, t1) .. -1} u {1 .. min(dmax, T-1-t2)}
-           (t1 <= t2 makes t1 left-binding and t2 right-binding; both
-           shifted times stay in [0, T))
-      x  ~ truncated geometric on
-           {1 .. min(nmax, events[loc,t1,0], events[loc,t2,1])}
-      move x S->E events t1 -> t1+d and x E->I events t2 -> t2+d.
-
-    Reversibility: the reverse proposal picks t2+d, then t1+d (ordering
-    preserved: both shift by d), displacement -d; the Hastings ratio is the
-    product of the nonzero-count, displacement-mass and count-cap
-    normalizer ratios, exactly as the single-move kernel.
-
-    Note the kernel conserves ``sum_t t*(events[:,t,1] - events[:,t,0])``
-    per location: it is not ergodic alone and composes with the plain
-    per-transition move kernels.
-
-    Returns:
-      (events, state, logp, EventMoveInfo) — ``delta_t`` traces d and
-      ``t`` traces t2 (the E->I source time).  With a threaded
-      ``commute``: (events, state, commute, logp, EventMoveInfo).
-    """
+    """Samples and applies an episode-translation proposal (see
+    :func:`pair_move_step` for the proposal and Hastings derivation)."""
     M, T, X = events.shape
     dtype = events.dtype
-    k_loc, k_t2, k_t1, k_d, k_x, k_acc = jax.random.split(key, 6)
+    k_loc, k_t2, k_t1, k_d, k_x = jax.random.split(key, 5)
 
     locs = jax.random.choice(k_loc, M, (mmax,), replace=False)
     counts_ei = events[locs, :, 1]  # [mmax, T]
@@ -558,35 +539,184 @@ def pair_move_step(
         - log_mass_d_rev.astype(dtype)
     )
     hastings = jnp.sum(jnp.where(active, log_q_rev - log_q_fwd, 0.0))
-    log_alpha = delta_total + hastings
+    return _PairProposal(
+        events=ev_cur, state=st_cur, delta_lp=delta_total,
+        hastings=hastings, locs=locs, t1=t1, t2=t2, t1_dst=t1_dst,
+        t2_dst=t2_dst, d=d, x_eff=x_eff, commute=cm_cur,
+    )
+
+
+def _revert_pairs(prop: _PairProposal, accepted, evaluator):
+    """Applies the inverse pair moves when rejected (see
+    :func:`_revert_if_rejected`)."""
+    x_revert = jnp.where(accepted, 0.0, prop.x_eff)
+    ev_cur, st_cur, cm_cur = prop.events, prop.state, prop.commute
+    for i in range(prop.locs.shape[0]):
+        for k_id, t_from, t_to in (
+            (0, prop.t1_dst[i], prop.t1[i]),
+            (1, prop.t2_dst[i], prop.t2[i]),
+        ):
+            ev_cur, st_cur = apply_event_delta(
+                ev_cur, st_cur, prop.locs[i], t_from, t_to, x_revert[i],
+                k_id,
+            )
+            cm_cur = evaluator.apply_commute(
+                cm_cur, prop.locs[i], t_from, t_to, x_revert[i], k_id
+            )
+    return ev_cur, st_cur, cm_cur
+
+
+def pair_move_step(
+    key,
+    events,
+    state,
+    current_logp,
+    evaluator,
+    dmax: int,
+    mmax: int,
+    nmax: int,
+    move_decay: float = 0.9,
+    x_decay: float = 1.0,
+    commute=None,
+):
+    """Translates infection *episodes*: moves x S->E events at t1 AND x
+    E->I events at t2 (same location) by the same displacement d, jointly.
+
+    Motivation: the min-scalar ESS bottleneck is the infectious person-time
+    PT = sum I (gamma0 tracks -log PT), and PT only changes when E->I times
+    move.  Measured penalty decomposition of single E->I moves at NI scale:
+    the E->I (NU-sojourn) binomial term dominates (-0.8..-2.2 median
+    log-lik for |d| = 1..8) because moving an E->I event breaks the E
+    occupancy implied by its upstream S->E event.  Moving the *pair*
+    preserves the sojourn structure (the E window [t1, t2) translates), so
+    the same |d| costs a median -0.9..+1.6 — large PT steps become
+    acceptable.
+
+    Proposal, per chosen location (uniform without replacement):
+      t2 ~ Uniform{t : events[loc, t, 1] > 0}          (null if none)
+      t1 ~ Uniform{t <= t2 : events[loc, t, 0] > 0}    (null if none)
+      d  ~ truncated two-sided geometric on
+           {-min(dmax, t1) .. -1} u {1 .. min(dmax, T-1-t2)}
+           (t1 <= t2 makes t1 left-binding and t2 right-binding; both
+           shifted times stay in [0, T))
+      x  ~ truncated geometric on
+           {1 .. min(nmax, events[loc,t1,0], events[loc,t2,1])}
+      move x S->E events t1 -> t1+d and x E->I events t2 -> t2+d.
+
+    Reversibility: the reverse proposal picks t2+d, then t1+d (ordering
+    preserved: both shift by d), displacement -d; the Hastings ratio is the
+    product of the nonzero-count, displacement-mass and count-cap
+    normalizer ratios, exactly as the single-move kernel.
+
+    Note the kernel conserves ``sum_t t*(events[:,t,1] - events[:,t,0])``
+    per location: it is not ergodic alone and composes with the plain
+    per-transition move kernels.
+
+    Returns:
+      (events, state, logp, EventMoveInfo) — ``delta_t`` traces d and
+      ``t`` traces t2 (the E->I source time).  With a threaded
+      ``commute``: (events, state, commute, logp, EventMoveInfo).
+    """
+    dtype = events.dtype
+    k_prop, k_acc = jax.random.split(key)
+    prop = _propose_pairs(
+        k_prop, events, state, evaluator, dmax, mmax, nmax, move_decay,
+        x_decay, commute=commute,
+    )
+    log_alpha = prop.delta_lp + prop.hastings
 
     u = jax.random.uniform(k_acc, (), dtype)
     accepted = jnp.log(u) < log_alpha
-    # Revert-if-rejected (see event_move_step).
-    x_revert = jnp.where(accepted, 0.0, x_eff)
-    for i in range(mmax):
-        for k_id, t_from, t_to in (
-            (0, t1_dst[i], t1[i]),
-            (1, t2_dst[i], t2[i]),
-        ):
-            ev_cur, st_cur = apply_event_delta(
-                ev_cur, st_cur, locs[i], t_from, t_to, x_revert[i], k_id
-            )
-            cm_cur = evaluator.apply_commute(
-                cm_cur, locs[i], t_from, t_to, x_revert[i], k_id
-            )
-    logp_out = current_logp + jnp.where(accepted, delta_total, 0.0)
+    ev_cur, st_cur, cm_cur = _revert_pairs(prop, accepted, evaluator)
+    logp_out = current_logp + jnp.where(accepted, prop.delta_lp, 0.0)
     info = EventMoveInfo(
         is_accepted=accepted,
         target_log_prob=logp_out,
-        m=locs.astype(dtype),
-        t=t2.astype(dtype),
-        delta_t=d.astype(dtype),
-        x_star=x_eff,
+        m=prop.locs.astype(dtype),
+        t=prop.t2.astype(dtype),
+        delta_t=prop.d.astype(dtype),
+        x_star=prop.x_eff,
     )
     if cm_cur is None:
         return ev_cur, st_cur, logp_out, info
     return ev_cur, st_cur, cm_cur, logp_out, info
+
+
+def compensated_pair_move_step(
+    key,
+    events,
+    state,
+    current_logp,
+    evaluator,
+    gamma,
+    potential_fn,
+    gamma_delta_fn,
+    dmax: int,
+    mmax: int,
+    nmax: int,
+    move_decay: float = 0.9,
+    x_decay: float = 1.0,
+    commute=None,
+):
+    """Episode translation with a *deterministic* gamma0 ridge
+    compensation — the composition of :func:`pair_move_step` and
+    :func:`compensated_move_step`'s translation.
+
+    Motivation: the two penalties that block large E->I displacements are
+    (a) the E-sojourn binomial — removed by moving the upstream S->E event
+    along (the pair move), and (b) the I->R binomial at fixed gamma0 — an
+    E->I event moving by d changes infectious person-time by -x*d (the
+    removal times are observation-pinned), which at fixed gamma0 costs
+    ~|x*d| * rate in expectation.  Setting
+
+        gamma' = gamma + potential(state) - potential(state')
+
+    with ``potential = log sum I`` keeps exp(gamma)*PT — the expected
+    removal count — invariant, cancelling penalty (b) to first order.
+    Together the pair proposal strides the (gamma0, person-time) ridge in
+    one joint move.  Reversibility follows exactly as in
+    :func:`compensated_move_step`: for a fixed event move the gamma update
+    is a translation (|Jacobian| = 1) and the reverse move's shift is
+    ``-shift``; the event-side Hastings machinery is the pair kernel's.
+    The kernel conserves ``gamma + potential(state)`` and composes with
+    HMC for ergodicity.
+
+    Args: as :func:`pair_move_step` plus ``gamma`` / ``potential_fn`` /
+    ``gamma_delta_fn`` as in :func:`compensated_move_step`.
+
+    Returns:
+      (events, state, logp, gamma, EventMoveInfo) — with a threaded
+      ``commute``: (events, state, commute, logp, gamma, EventMoveInfo).
+    """
+    dtype = events.dtype
+    k_prop, k_acc = jax.random.split(key)
+    phi_old = potential_fn(state)
+    prop = _propose_pairs(
+        k_prop, events, state, evaluator, dmax, mmax, nmax, move_decay,
+        x_decay, commute=commute,
+    )
+    phi_new = potential_fn(prop.state)
+    gamma_new = gamma + phi_old - phi_new
+    delta_gamma = gamma_delta_fn(prop.events, prop.state, gamma, gamma_new)
+    delta_total = prop.delta_lp + delta_gamma
+    log_alpha = delta_total + prop.hastings
+
+    u = jax.random.uniform(k_acc, (), dtype)
+    accepted = jnp.log(u) < log_alpha
+    ev_cur, st_cur, cm_cur = _revert_pairs(prop, accepted, evaluator)
+    gamma_out = jnp.where(accepted, gamma_new, gamma)
+    logp_out = current_logp + jnp.where(accepted, delta_total, 0.0)
+    info = EventMoveInfo(
+        is_accepted=accepted,
+        target_log_prob=logp_out,
+        m=prop.locs.astype(dtype),
+        t=prop.t2.astype(dtype),
+        delta_t=prop.d.astype(dtype),
+        x_star=prop.x_eff,
+    )
+    if cm_cur is None:
+        return ev_cur, st_cur, logp_out, gamma_out, info
+    return ev_cur, st_cur, cm_cur, logp_out, gamma_out, info
 
 
 def occult_step(

@@ -28,6 +28,7 @@ from covid19uk_tpu.inference import hmc
 from covid19uk_tpu.inference.event_kernels import (
     EventMoveInfo,
     compensated_move_step,
+    compensated_pair_move_step,
     event_move_step,
     occult_step,
     pair_move_step,
@@ -91,6 +92,21 @@ class EventKernelConfig(NamedTuple):
     # from mmax: each pair proposal costs 2 windowed deltas per location.
     num_pair_updates: int = 1
     pair_mmax: int = 1
+    # Displacement decay for PAIR proposals, decoupled from move_decay:
+    # episode translation removes the E-sojourn penalty, so long strides
+    # stay acceptable (~0.18 at uniform) and carry the slow person-time
+    # mode much further per accept.  Measured at UK scale (16 chains,
+    # 1000 draws, 3 seeds): gamma0 ESS 27±6 -> 46±24 and min-scalar
+    # ESS/sec 5.7±1.3 -> 7.0±0.8 going 0.9 -> 1.0 at zero wall cost,
+    # while the plain kernels keep their 0.9 decay (their acceptance
+    # collapses to ~0.01 at uniform).  1.0 = uniform over the valid range.
+    pair_move_decay: float = 1.0
+    # Compensate gamma0 along the removals/person-time ridge within each
+    # pair proposal (event_kernels.compensated_pair_move_step): the pair
+    # move removes the E-sojourn penalty, the deterministic gamma0
+    # translation removes the I->R penalty — together large
+    # person-time strides become acceptable, decorrelating gamma0.
+    pair_compensate_gamma0: bool = False
     # Thread the per-draw commute = Cstar @ (I/N) through the event sweep
     # (windowed deltas slice it instead of recomputing the [M,M]@[M,window]
     # product per eval; accepted E->I perturbations rank-1-update it).
@@ -228,13 +244,50 @@ def make_mcmc_step(
                 cfg.t_range, cfg.occult_nmax, cfg.x_decay,
                 commute=commute_live,
             ))
-            if cfg.num_pair_updates > 0:
+            def make_gamma_delta(live_rate):
+                def gamma_delta(ev_new, st_new, g, g_new):
+                    # All gamma0-dependent terms at the proposed events:
+                    # I->R likelihood is rate-only (lgammas cancel) +
+                    # N(0, 100) prior (model_spec.py:197).
+                    r_old = live_rate[None, :]
+                    r_new = r_old * jnp.exp(g_new - g)
+                    d_ir = jnp.sum(
+                        _rate_diff_no_lgamma(
+                            st_new[..., 2], ev_new[..., 2], r_old, r_new
+                        )
+                    )
+                    d_prior = -0.5 * (g_new**2 - g**2) / 100.0**2
+                    return d_ir + d_prior
+
+                return gamma_delta
+
+            if cfg.num_pair_updates > 0 and cfg.pair_compensate_gamma0:
+                g0_pb = g0  # rate_ir_t corresponds to this value
+                for kp in jax.random.split(kf, cfg.num_pair_updates):
+                    live_rate = rate_ir_t * jnp.exp(g0 - g0_pb)
+                    pair_eval = WindowedEvaluator(
+                        ctx=ctx._replace(rate_ir_t=live_rate),
+                        window=move_window,
+                    )
+                    res = compensated_pair_move_step(
+                        kp, events, st, logp, pair_eval, g0, potential,
+                        make_gamma_delta(live_rate),
+                        cfg.dmax, cfg.pair_mmax, cfg.nmax,
+                        cfg.pair_move_decay, cfg.x_decay,
+                        commute=commute_live,
+                    )
+                    if cfg.thread_commute:
+                        events, st, commute_live, logp, g0, i_pair = res
+                    else:
+                        events, st, logp, g0, i_pair = res
+                rate_ir_t = rate_ir_t * jnp.exp(g0 - g0_pb)
+            elif cfg.num_pair_updates > 0:
                 for kp in jax.random.split(kf, cfg.num_pair_updates):
                     events, st, commute_live, logp, i_pair = unpack(
                         pair_move_step(
                             kp, events, st, logp, move_eval,
                             cfg.dmax, cfg.pair_mmax, cfg.nmax,
-                            cfg.move_decay, cfg.x_decay,
+                            cfg.pair_move_decay, cfg.x_decay,
                             commute=commute_live,
                         )
                     )
@@ -258,27 +311,9 @@ def make_mcmc_step(
                         ctx=ctx._replace(rate_ir_t=live_rate),
                         window=move_window,
                     )
-
-                    def gamma_delta(
-                        ev_new, st_new, g, g_new, live_rate=live_rate
-                    ):
-                        # All gamma0-dependent terms at the proposed
-                        # events: I->R likelihood is rate-only (lgammas
-                        # cancel) + N(0, 100) prior (model_spec.py:197).
-                        r_old = live_rate[None, :]
-                        r_new = r_old * jnp.exp(g_new - g)
-                        d_ir = jnp.sum(
-                            _rate_diff_no_lgamma(
-                                st_new[..., 2], ev_new[..., 2], r_old,
-                                r_new,
-                            )
-                        )
-                        d_prior = -0.5 * (g_new**2 - g**2) / 100.0**2
-                        return d_ir + d_prior
-
                     res = compensated_move_step(
                         kk, events, st, logp, cur_eval, g0, potential,
-                        gamma_delta, 1,
+                        make_gamma_delta(live_rate), 1,
                         cfg.dmax, cfg.mmax, cfg.nmax, cfg.move_decay,
                         cfg.x_decay, commute=commute_live,
                     )

@@ -952,3 +952,124 @@ def test_gibbs_step_threading_parity(rng):
     np.testing.assert_allclose(
         np.asarray(outs[0].u), np.asarray(outs[1].u), rtol=1e-9
     )
+
+
+def test_compensated_pair_kernel_exact_stationarity():
+    """The (gamma0, episode-translation) joint kernel preserves an
+    enumerable-events x Gaussian-gamma target exactly.
+
+    Target: pi(g, a, b) = pi_e(a, b) * N(g; mu(b), sigma^2) with mu the
+    same I-column potential the kernel compensates along (only E->I times
+    move I).  Composed with the plain per-transition moves (event
+    ergodicity) and a random-walk MH on g (gamma ergodicity); the
+    compensated-pair kernel conserves g + potential(state) on its own.
+    """
+    from covid19uk_tpu.inference.event_kernels import (
+        compensated_pair_move_step,
+    )
+
+    T, tot0, tot1 = 4, 2, 2
+    sigma = 0.5
+    w0 = jnp.asarray(np.array([0.3, 0.9, -0.4, 0.5]), jnp.float64)
+    w1 = jnp.asarray(np.array([-0.2, 0.6, 0.8, -0.3]), jnp.float64)
+    coef = 0.05 * jnp.asarray(np.arange(T - 1, -1, -1), jnp.float64)
+
+    def a_fn(events):
+        c0, c1 = events[0, :, 0], events[0, :, 1]
+        return (
+            jnp.sum(c0 * w0) + jnp.sum(c1 * w1)
+            - 0.1 * jnp.sum(c0**2) - 0.12 * jnp.sum(c1**2)
+            + 0.05 * jnp.sum(c0 * c1)
+        )
+
+    def mu_fn(events):
+        return jnp.sum(events[0, :, 1] * coef)
+
+    def full_logp(g, events):
+        return a_fn(events) - 0.5 * ((g - mu_fn(events)) / sigma) ** 2
+
+    def potential(st):
+        # STOICH[1] = E->I: I_t = sum_s c1_s [t > s]; matches mu_fn
+        return 0.05 * jnp.sum(st[0, :, 2])
+
+    def gamma_delta(ev_new, st_new, g, g_new):
+        mu = 0.05 * jnp.sum(st_new[0, :, 2])
+        return -0.5 * ((g_new - mu) ** 2 - (g - mu) ** 2) / sigma**2
+
+    s0 = list(_enumerate_compositions(tot0, T))
+    s1 = list(_enumerate_compositions(tot1, T))
+    states = [(a, b) for a in s0 for b in s1]
+    idx = {s: i for i, s in enumerate(states)}
+
+    def mk(a, b):
+        ev = jnp.zeros((1, T, 3), jnp.float64)
+        ev = ev.at[0, :, 0].set(jnp.asarray(np.array(a), jnp.float64))
+        ev = ev.at[0, :, 1].set(jnp.asarray(np.array(b), jnp.float64))
+        return ev
+
+    logps = np.array([float(a_fn(mk(a, b))) for a, b in states])
+    target = np.exp(logps - logps.max())
+    target /= target.sum()
+
+    init = mk(*states[0])
+    # consistent state for the compensating potential: track E and I
+    a0, b0 = np.array(states[0][0], float), np.array(states[0][1], float)
+    st0 = jnp.zeros((1, T, 4), jnp.float64)
+    for t in range(T):
+        e_t = float((a0 * (t > np.arange(T))).sum()) - float(
+            (b0 * (t > np.arange(T))).sum()
+        )
+        i_t = float((b0 * (t > np.arange(T))).sum())
+        st0 = st0.at[0, t, 1].set(e_t).at[0, t, 2].set(i_t)
+
+    g0 = jnp.asarray(float(mu_fn(init)), jnp.float64)
+    lp0 = full_logp(g0, init)
+
+    def body(carry, key):
+        ev, st, lp, g = carry
+        k1, k2, k3, k4, k5 = jax.random.split(key, 5)
+        evaluator = FullEvaluator(logp_fn=lambda e: full_logp(g, e))
+        ev, st, lp, g, _ = compensated_pair_move_step(
+            k1, ev, st, lp, evaluator, g, potential, gamma_delta,
+            dmax=3, mmax=1, nmax=2, move_decay=0.9, x_decay=0.8,
+        )
+        evaluator = FullEvaluator(logp_fn=lambda e: full_logp(g, e))
+        ev, st, lp, _ = event_move_step(
+            k2, ev, st, lp, evaluator, 0, dmax=3, mmax=1, nmax=2,
+            move_decay=0.9, x_decay=0.8,
+        )
+        ev, st, lp, _ = event_move_step(
+            k3, ev, st, lp, evaluator, 1, dmax=3, mmax=1, nmax=2,
+            move_decay=0.9, x_decay=0.8,
+        )
+        g_prop = g + 0.5 * jax.random.normal(k4, (), jnp.float64)
+        dlp = full_logp(g_prop, ev) - full_logp(g, ev)
+        acc = jnp.log(jax.random.uniform(k5, (), jnp.float64)) < dlp
+        g = jnp.where(acc, g_prop, g)
+        lp = jnp.where(acc, lp + dlp, lp)
+        return (ev, st, lp, g), (ev[0, :, 0], ev[0, :, 1], g)
+
+    n = 80000
+    keys = jax.random.split(jax.random.PRNGKey(33), n)
+    (ev_f, st_f, lp_f, g_f), (tr0, tr1, trg) = jax.lax.scan(
+        body, (init, st0, lp0, g0), keys
+    )
+    # delta accounting is exact
+    np.testing.assert_allclose(
+        float(lp_f), float(full_logp(g_f, ev_f)), rtol=1e-9, atol=1e-9
+    )
+    tr0 = np.asarray(tr0[8000:]).astype(int)
+    tr1 = np.asarray(tr1[8000:]).astype(int)
+    trg = np.asarray(trg[8000:])
+
+    counts = np.zeros(len(states))
+    for a, b in zip(tr0, tr1):
+        counts[idx[(tuple(a), tuple(b))]] += 1
+    freq = counts / counts.sum()
+    tv = 0.5 * np.abs(freq - target).sum()
+    assert tv < 0.04, (tv,)
+    # the gamma residual is N(0, sigma^2)
+    mus = tr1 @ np.asarray(coef).astype(float)
+    resid = trg - mus
+    assert abs(resid.mean()) < 0.03, resid.mean()
+    np.testing.assert_allclose(resid.std(), sigma, rtol=0.05)

@@ -23,7 +23,8 @@ sys.path.insert(0, ".")
 
 
 def run(scale, C, sweeps, mmax, move_decay, x_decay, n_draws, warm=300,
-        leapfrog=16, seed=0, compensate=True, comp_updates=1, pair_updates=1, pair_mmax=1):
+        leapfrog=16, seed=0, compensate=True, comp_updates=1, pair_updates=1,
+        pair_mmax=1, pair_comp=False, pair_decay=1.0):
     import jax
     import jax.numpy as jnp
 
@@ -52,6 +53,8 @@ def run(scale, C, sweeps, mmax, move_decay, x_decay, n_draws, warm=300,
         compensate_gamma0=compensate,
         num_compensated_updates=comp_updates,
         num_pair_updates=pair_updates, pair_mmax=pair_mmax,
+        pair_move_decay=pair_decay,
+        pair_compensate_gamma0=pair_comp,
     )
     step = make_mcmc_step(model, leapfrog, cfg)
 
@@ -60,36 +63,70 @@ def run(scale, C, sweeps, mmax, move_decay, x_decay, n_draws, warm=300,
         jnp.arange(C))
     wf = jax.vmap(lambda _: welford.init((P,), jnp.float32))(jnp.arange(C))
     inv_mass = jnp.ones((C, P), jnp.float32)
-    warm_run = jax.jit(jax.vmap(
-        make_window_runner(step, warm, adapt_mass=True),
-        in_axes=(0, 0, 0, 0, 0, None),
-    ))
+    # u-only adaptation (no per-draw state trace: a warm-length event
+    # trace is [C, warm, M, T, 3] and exhausts HBM at UK scale)
+    def warm_run_one(key, st, da, wf, inv_mass_, model_):
+        def body(carry, k):
+            st, da, wf, im = carry
+            tune = HMCTunables(
+                step_size=dual_averaging.step_size(da), inv_mass_diag=im
+            )
+            st, trace = step(k, st, tune, model_)
+            acc = jnp.exp(jnp.minimum(trace.hmc.log_accept_ratio, 0.0))
+            da = dual_averaging.update(
+                da, jnp.where(jnp.isfinite(acc), acc, 0.0)
+            )
+            wf = welford.update(wf, st.u)
+            return (st, da, wf, regularized_variance(wf)), st.u
+
+        keys = jax.random.split(key, warm)
+        (st, da, wf, im), us = jax.lax.scan(
+            body, (st, da, wf, inv_mass_), keys
+        )
+        return st, da, us
+
+    warm_run = jax.jit(jax.vmap(warm_run_one, in_axes=(0, 0, 0, 0, 0, None)))
     keys = jax.random.split(jax.random.PRNGKey(42 + seed), C)
-    state, da, wf, inv_mass, wdraws, _ = warm_run(
-        keys, state, da, wf, inv_mass, model)
+    state, da, w_us = warm_run(keys, state, da, wf, inv_mass, model)
     jax.block_until_ready(state.u)
     step_size = dual_averaging.step_size(da)
     inv_mass = jax.vmap(regularized_variance)(
-        jax.vmap(welford.from_draws)(wdraws.u))
+        jax.vmap(welford.from_draws)(w_us))
 
-    sample = jax.jit(jax.vmap(
-        make_fixed_runner(step, n_draws), in_axes=(0, 0, 0, 0, None)))
+    # u-only trace: a full-draws event trace is [C, n, M, T, 3] and
+    # exhausts HBM at UK scale past ~300 draws (bench.py does the same).
+    def fixed_u_only(key, st, step_size_, inv_mass_, model_):
+        tune = HMCTunables(step_size=step_size_, inv_mass_diag=inv_mass_)
+
+        def body(s, k):
+            s, trace = step(k, s, tune, model_)
+            return s, (s.u, trace.hmc.is_accepted,
+                       trace.move_se.is_accepted, trace.move_ei.is_accepted,
+                       trace.occult_se.is_accepted,
+                       trace.occult_ei.is_accepted,
+                       trace.comp_ei.is_accepted, trace.pair.is_accepted)
+
+        keys = jax.random.split(key, n_draws)
+        st, out = jax.lax.scan(body, st, keys)
+        return st, out
+
+    sample = jax.jit(jax.vmap(fixed_u_only, in_axes=(0, 0, 0, 0, None)))
     def force(x):
         # wall fence via data-dependent host fetch: on axon
         # block_until_ready can return before remote execution completes
         return float(jnp.sum(x[:, -1, :4]))
 
     keys = jax.random.split(jax.random.PRNGKey(seed), C)
-    state, draws, traces = sample(keys, state, step_size, inv_mass, model)
-    force(draws.u)  # compile + burn
+    state, out = sample(keys, state, step_size, inv_mass, model)
+    force(out[0])  # compile + burn
 
     keys = jax.random.split(jax.random.PRNGKey(seed + 1), C)
     t0 = time.time()
-    state, draws, traces = sample(keys, state, step_size, inv_mass, model)
-    force(draws.u)
+    state, out = sample(keys, state, step_size, inv_mass, model)
+    force(out[0])
     wall = time.time() - t0
 
-    u = np.asarray(draws.u)  # [C, n, P]
+    u = np.asarray(out[0])  # [C, n, P]
     names = ["psi", "sigma_space", "beta_area", "gamma0", "gamma1",
              "alpha_0"]
     ess = {
@@ -97,14 +134,11 @@ def run(scale, C, sweeps, mmax, move_decay, x_decay, n_draws, warm=300,
             jnp.asarray(u[:, :, i]))))
         for i, name in enumerate(names)
     }
+    acc_names = ["hmc", "move_se", "move_ei", "occ_se", "occ_ei",
+                 "comp_ei", "pair"]
     acc = {
-        "hmc": float(np.asarray(traces.hmc.is_accepted).mean()),
-        "move_se": float(np.asarray(traces.move_se.is_accepted).mean()),
-        "move_ei": float(np.asarray(traces.move_ei.is_accepted).mean()),
-        "occ_se": float(np.asarray(traces.occult_se.is_accepted).mean()),
-        "occ_ei": float(np.asarray(traces.occult_ei.is_accepted).mean()),
-        "comp_ei": float(np.asarray(traces.comp_ei.is_accepted).mean()),
-        "pair": float(np.asarray(traces.pair.is_accepted).mean()),
+        name: float(np.asarray(out[1 + i]).mean())
+        for i, name in enumerate(acc_names)
     }
     return ess, acc, wall
 
@@ -125,6 +159,11 @@ def main():
     ap.add_argument("--pair-mmax", type=int, default=1)
     ap.add_argument("--no-comp", action="store_true",
                     help="disable the compensated (gamma0, E->I) kernel")
+    ap.add_argument("--pair-comp", action="store_true",
+                    help="gamma0-compensated pair moves"
+                    " (compensated_pair_move_step)")
+    ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument("--pair-decay", type=float, default=1.0)
     args = ap.parse_args()
 
     ess, acc, wall = run(
@@ -133,6 +172,8 @@ def main():
         leapfrog=args.leapfrog,
         compensate=not args.no_comp, comp_updates=args.comp_updates,
         pair_updates=args.pair_updates, pair_mmax=args.pair_mmax,
+        pair_comp=args.pair_comp, seed=args.seed,
+        pair_decay=args.pair_decay,
     )
     min_ess = min(ess.values())
     argmin = min(ess, key=ess.get)
