@@ -57,6 +57,11 @@ class McmcConfig:
     num_bursts: int = 50
     num_burst_samples: int = 100
     thin: int = 1
+    # Write warmup-window draws to the posterior store (reference behavior).
+    # At MSOA scale the warmup event draws dominate the store (e.g. 4.3 of
+    # 5.1 GB at M=7000) and the HDF5 write wall; set False to store the
+    # sampling phase only (ThinPosterior.start is then 0).
+    store_warmup: bool = True
     num_adaptation_iterations: int = 1000  # accepted for parity; unused
     num_chains: int = 1
     pooled_adaptation: bool = True  # pool step-size/mass across chains

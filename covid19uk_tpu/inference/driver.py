@@ -331,7 +331,11 @@ def run_mcmc(
             f"multiple of thin={thin}"
         )
     stored_per_burst = config.num_burst_samples // thin
-    num_samples = schedule.total + stored_per_burst * config.num_bursts
+    # Warmup draws are written in full when store_warmup (reference
+    # behavior); at MSOA scale they dominate the store and the write wall,
+    # so production configs there disable them.
+    warmup_stored = schedule.total if config.store_warmup else 0
+    num_samples = warmup_stored + stored_per_burst * config.num_bursts
     chain_shape = () if squeeze else (C,)
     np_dtype = np.float64 if dtype == jnp.float64 else np.float32
     sample_template = draws_to_dict(
@@ -413,8 +417,11 @@ def run_mcmc(
         return off + np.asarray(draws.u).shape[0]
 
     def write(draws, traces):
+        # warmup-window writes route through here; bursts use write_at
+        # directly (async).  No-op when warmup storage is disabled.
         nonlocal offset
-        offset = write_at(draws, traces, offset)
+        if config.store_warmup:
+            offset = write_at(draws, traces, offset)
 
     def pool(step_size, wf):
         if not config.pooled_adaptation or C == 1:
@@ -610,7 +617,7 @@ def run_mcmc(
 
     # ---- cross-chain convergence diagnostics ------------------------------
     _report_diagnostics(
-        posterior, schedule.total, C, squeeze, sampling_wall, log
+        posterior, warmup_stored, C, squeeze, sampling_wall, log
     )
     log.close()
     return posterior

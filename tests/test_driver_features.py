@@ -235,3 +235,42 @@ def test_pair_kernel_sampling_opt_in(tmp_path, rng):
     with h5py.File(out, "r") as f:
         x_star = f["results/move/S->E+E->I_pair/proposed_delta"][:, 3, :]
         assert (x_star[warm_total:] != 0).any()
+
+
+def test_store_warmup_false_stores_sampling_only(tmp_path, rng):
+    """store_warmup=False: the posterior holds exactly the sampling rows
+    (the MSOA store-size knob), and a kill+resume keeps the accounting."""
+    import h5py
+
+    from covid19uk_tpu.inference.driver import mcmc
+    from covid19uk_tpu.utils import checkpoint as ckpt_mod
+
+    path = str(tmp_path / "data.h5")
+    out = str(tmp_path / "post.h5")
+    make_synthetic_datafile(path, rng, M=3, T0=25)
+    ckpt = str(tmp_path / "ck.npz")
+    cfg = _cfg(num_bursts=4, store_warmup=False, checkpoint=ckpt)
+
+    real_save = ckpt_mod.save
+    calls = {"n": 0}
+
+    def dying_save(*a, **k):
+        real_save(*a, **k)
+        calls["n"] += 1
+        if calls["n"] == 2:
+            raise KeyboardInterrupt("simulated preemption")
+
+    ckpt_mod.save = dying_save
+    try:
+        with pytest.raises(KeyboardInterrupt):
+            mcmc(path, out, cfg)
+    finally:
+        ckpt_mod.save = real_save
+    mcmc(path, out, cfg)  # resume
+
+    total = 4 * 5  # sampling rows only — no warmup rows
+    with h5py.File(out, "r") as f:
+        psi = f["samples/psi"][:]
+        assert psi.shape[0] == total
+        assert np.isfinite(psi).all()
+        assert np.abs(psi).min() > 0  # every row written (incl. resumed)
