@@ -78,6 +78,38 @@ def impute_previous_cases(events, rate, rng, delta_t=1.0):
     )
 
 
+def generate_case_numbers(n, rate, rng):
+    """Forward binomial-thinning case generator.
+
+    Repeatedly draws ``new_n ~ Binomial(n, 1 - exp(-rate))`` and subtracts
+    it from the remaining pool until exhausted, returning the per-round
+    draws stacked along a leading axis (reference ``util.py:56-74``'s
+    ``tf.while_loop`` + ``TensorArray``; here the dynamic-length output is
+    a plain host-side list — this is a data-synthesis helper, not a
+    device-side op).
+
+    Args:
+      n: ``[...]`` initial counts.
+      rate: scalar rate; the per-round thinning prob is ``1 - exp(-rate)``.
+      rng: ``np.random.Generator``.
+
+    Returns:
+      ``[num_rounds, ...]`` float array; sums to ``n`` over axis 0.
+    """
+    remaining = np.asarray(n, np.float64)
+    prob = 1.0 - np.exp(-float(rate))
+    rounds = []
+    while remaining.sum() > 0:
+        new_n = rng.binomial(remaining.astype(np.int64), prob).astype(
+            np.float64
+        )
+        rounds.append(new_n)
+        remaining = remaining - new_n
+    if not rounds:
+        return np.zeros((0,) + remaining.shape, np.float64)
+    return np.stack(rounds, axis=0)
+
+
 def impute_censored_events(cases, seed=0):
     """Builds the initial ``[M, T', 3]`` event tensor from observed cases.
 
