@@ -1,10 +1,12 @@
-"""Data-layer validators and LAD-code merging.
+"""Data-layer validators, LAD-code merging, and filename decoration.
 
-Port of the live parts of ``/root/reference/covid19uk/data/util.py``
-(merge map ``util.py:40-49``, validators ``util.py:57-91``); the dead
-filename helpers are intentionally not rebuilt (SURVEY.md §2.3).
+Port of ``/root/reference/covid19uk/data/util.py`` (merge map
+``util.py:40-49``, validators ``util.py:57-91``, filename helpers
+``util.py:10-37``).
 """
 
+import datetime as _datetime
+import os
 import re
 
 import numpy as np
@@ -66,3 +68,36 @@ def check_lad19cd_format(df):
 
 def invalid_input(value):
     raise NotImplementedError(f'Input type "{value}" mode not implemented')
+
+
+def prepend_date(filename, today=None):
+    """``<YYYY-MM-DD>_<filename>`` (reference ``util.py:10-13``, whose
+    ``datetime.now()`` call on the *module* is a latent AttributeError —
+    fixed here).  ``today`` is injectable for tests."""
+    today = today or _datetime.date.today()
+    return f"{today.strftime('%Y-%m-%d')}_{filename}"
+
+
+def prepend_id(filename, config):
+    """``<Global.prependID_Str>_<filename>`` (reference ``util.py:16-17``)."""
+    return f"{config['Global']['prependID_Str']}_{filename}"
+
+
+def format_input_filename(filename, config):
+    """Applies the configured run-ID prefix to an input path's basename
+    (reference ``util.py:20-27``)."""
+    path, base = os.path.split(filename)
+    if config["Global"]["prependID"]:
+        base = prepend_id(base, config)
+    return os.path.join(path, base)
+
+
+def format_output_filename(filename, config, today=None):
+    """Applies run-ID and date prefixes to an output path's basename
+    (reference ``util.py:30-37``)."""
+    path, base = os.path.split(filename)
+    if config["Global"]["prependID"]:
+        base = prepend_id(base, config)
+    if config["Global"]["prependDate"]:
+        base = prepend_date(base, today)
+    return os.path.join(path, base)

@@ -223,6 +223,33 @@ class TestLegacyUtils:
         )
         assert out.shape == (0, 2)
 
+    def test_filename_helpers(self):
+        from covid19uk_tpu.data.util import (
+            format_input_filename,
+            format_output_filename,
+        )
+
+        cfg = {
+            "Global": {
+                "prependID": True,
+                "prependID_Str": "run42",
+                "prependDate": True,
+            }
+        }
+        assert (
+            format_input_filename("out/data.nc", cfg) == "out/run42_data.nc"
+        )
+        import datetime
+
+        day = datetime.date(2020, 6, 1)
+        assert (
+            format_output_filename("out/post.h5", cfg, today=day)
+            == "out/2020-06-01_run42_post.h5"
+        )
+        cfg["Global"]["prependID"] = False
+        cfg["Global"]["prependDate"] = False
+        assert format_output_filename("out/post.h5", cfg) == "out/post.h5"
+
     def test_load_config_and_sanitisers(self, tmp_path):
         from covid19uk_tpu.utils.settings import (
             load_config,
