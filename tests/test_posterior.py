@@ -26,11 +26,13 @@ def test_ngm_matches_hand_computation(rng):
         next_generation_matrix_fn(data, params)(t, jnp.asarray(state))
     )
 
-    # hand-compute (model_spec.py:316-366)
+    # hand-compute (model_spec.py:316-366).  NOTE the reference's NGM
+    # gathers b[clip(t, 0, T-2)] at t>0 (model_spec.py:331-343) — one day
+    # AHEAD of the seir rate fn's b[clip(t-1, ...)] convention.
     Cstar = np.asarray(data.Cstar)
     w_t = float(np.asarray(data.W)[t])
     b = float(params.alpha_0) + np.cumsum(np.asarray(params.alpha_t))
-    alpha_t_ = b[t - 1]
+    alpha_t_ = b[min(t, len(b) - 1)] if t > 0 else float(params.alpha_0)
     eta = (
         alpha_t_
         + float(params.beta_area) * np.asarray(data.log_area)[:, None]
