@@ -31,6 +31,15 @@ class McmcConfig:
     num_event_time_updates: int = 5
     move_decay: float = 0.9  # event-move displacement decay; 1.0 = uniform
     x_decay: float = 0.9  # event-count proposal decay; 1.0 = uniform
+    # Robbins–Monro autotuning of the move kernels' displacement decays
+    # during warmup windows, targeting move_accept_target acceptance
+    # (reference manual-tuning practice ~23%, lancs tex:325-326).  Each of
+    # move S->E / move E->I gets its own decay, updated between windows
+    # from the window's pooled acceptance and frozen for the sampling
+    # phase (so sampling is exact fixed-kernel MH).  Decays are traced
+    # through the jit boundary — retuning never recompiles.
+    autotune_acceptance: bool = True
+    move_accept_target: float = 0.23
     # Episode-translation pair moves (S->E and downstream E->I moved
     # together): the measured fix for the slow infectious-person-time
     # mode that throttles gamma0 ESS (gibbs.EventKernelConfig).
@@ -107,6 +116,11 @@ class McmcConfig:
             v = getattr(self, name)
             if not (0.0 < v <= 1.0):
                 raise ValueError(f"Mcmc.{name} must be in (0, 1], got {v!r}")
+        if not (0.0 < self.move_accept_target < 1.0):
+            raise ValueError(
+                "Mcmc.move_accept_target must be in (0, 1), got "
+                f"{self.move_accept_target!r}"
+            )
         if self.rhat_stop is not None and not self.rhat_stop > 1.0:
             raise ValueError(
                 f"Mcmc.rhat_stop must be > 1.0, got {self.rhat_stop!r}"
@@ -139,6 +153,18 @@ class McmcConfig:
             raise ValueError(
                 f"Unknown Mcmc config keys: {sorted(unknown)} "
                 f"(known: {sorted(known)})"
+            )
+        if "num_adaptation_iterations" in d:
+            import warnings
+
+            warnings.warn(
+                "Mcmc.num_adaptation_iterations is accepted for "
+                "reference-config compatibility but has NO effect here: "
+                "warmup length is the Stan-style window schedule "
+                "(Mcmc.warmup: first_window/slow_window/num_slow_windows/"
+                "last_window, default 200 + 25*2^0..2^5 + 50 = 1825 draws). "
+                "Set Mcmc.warmup to change warmup length.",
+                stacklevel=2,
             )
         return cls(**d)
 

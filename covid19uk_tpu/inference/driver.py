@@ -382,7 +382,9 @@ def run_mcmc(
     if resuming:
         # Never truncate an existing run: reopen and append past the
         # checkpointed offset (the reference loses the whole run here).
-        posterior = Posterior.open(output_file)
+        posterior = Posterior.open(
+            output_file, sample_template, results_template
+        )
     else:
         posterior = Posterior(
             output_file, sample_template, results_template, num_samples
@@ -398,10 +400,45 @@ def run_mcmc(
     da = jax.tree.map(shard, da)
     wf = jax.tree.map(shard, wf)
 
+    # ---- Robbins–Monro acceptance autotuning of the move decays ----------
+    # Each move kernel's displacement decay is retuned between warmup
+    # windows toward config.move_accept_target (the reference's ~23% manual
+    # target, tex:325-326), then frozen for sampling.  Decays are traced
+    # scalars through the jit boundary, so retuning never recompiles.
+    autotune = bool(getattr(config, "autotune_acceptance", False))
+    accept_target = float(getattr(config, "move_accept_target", 0.23))
+    # log-decay random-walk: acceptance falls as decay rises (measured
+    # slope ~ -1.6 acceptance per log-decay unit at UK scale), so a gain
+    # of 0.8 stays well inside the stability region gain*|slope| < 2.
+    _RM_GAIN = 0.8
+    log_decays = [float(np.log(config.move_decay))] * 2
+    decays = (
+        tuple(jnp.asarray(np.exp(ld), dtype) for ld in log_decays)
+        if autotune
+        else None
+    )
+
+    def update_decays(traces):
+        nonlocal decays, log_decays
+        if not autotune:
+            return
+        for i, tr in enumerate((traces.move_se, traces.move_ei)):
+            acc = float(np.asarray(tr.is_accepted).mean())
+            delta = float(np.clip(_RM_GAIN * (acc - accept_target), -0.5, 0.5))
+            log_decays[i] = float(
+                np.clip(log_decays[i] + delta, np.log(0.05), np.log(0.999999))
+            )
+        decays = tuple(jnp.asarray(np.exp(ld), dtype) for ld in log_decays)
+
     def window(num_draws, adapt_mass):
         run = make_window_runner(step, num_draws, adapt_mass)
         # model passed as an (unmapped) argument so covariates are program
         # inputs rather than multi-MB compiled constants
+        if autotune:
+            jitted = jax.jit(
+                jax.vmap(run, in_axes=(0, 0, 0, 0, 0, None, None))
+            )
+            return lambda *args: jitted(*args, decays)
         return jax.jit(jax.vmap(run, in_axes=(0, 0, 0, 0, 0, None)))
 
     def write_at(draws, traces, off):
@@ -430,11 +467,24 @@ def run_mcmc(
 
     def log_window(name, n, traces, timer):
         acc = float(np.asarray(traces.hmc.is_accepted).mean())
+        extra = {}
+        if autotune:
+            extra = dict(
+                move_se_accept=round(
+                    float(np.asarray(traces.move_se.is_accepted).mean()), 4
+                ),
+                move_ei_accept=round(
+                    float(np.asarray(traces.move_ei.is_accepted).mean()), 4
+                ),
+                move_decay_se=round(float(np.exp(log_decays[0])), 4),
+                move_decay_ei=round(float(np.exp(log_decays[1])), 4),
+            )
         log.event(
             "window", name=name, draws=n,
             hmc_accept=round(acc, 4),
             step_size=float(np.mean(np.asarray(traces.hmc.step_size)[:, -1])),
             draws_per_sec=round(n * C / max(timer, 1e-9), 2),
+            **extra,
         )
 
     if resuming:
@@ -450,6 +500,11 @@ def run_mcmc(
         )
         offset = int(offset)
         start_burst = int(extra.get("burst", 0))
+        if autotune and "log_decays" in extra:
+            log_decays = [float(v) for v in extra["log_decays"]]
+            decays = tuple(
+                jnp.asarray(np.exp(ld), dtype) for ld in log_decays
+            )
         _log(f"Resumed from checkpoint at burst {start_burst}")
     else:
         start_burst = 0
@@ -462,6 +517,7 @@ def run_mcmc(
             schedule.first_window, adapt_mass=False
         )(shard(jax.random.split(sub, C)), state, da, wf, inv_mass, model)
         jax.block_until_ready(state)
+        update_decays(traces)
         log_window("fast", schedule.first_window, traces, time.time() - t0)
         write(draws, traces)
         step_size = dual_averaging.step_size(da)
@@ -484,6 +540,7 @@ def run_mcmc(
                 n, adapt_mass=True
             )(shard(jax.random.split(sub, C)), state, da, wf, inv_mass, model)
             jax.block_until_ready(state)
+            update_decays(traces)
             log_window("slow", n, traces, time.time() - t0)
             write(draws, traces)
             step_size = dual_averaging.step_size(da)
@@ -508,12 +565,16 @@ def run_mcmc(
 
     # ---- sampling bursts ------------------------------------------------------
     _log("Sampling...")
-    burst = jax.jit(
-        jax.vmap(
-            make_fixed_runner(step_sample, config.num_burst_samples),
-            in_axes=(0, 0, 0, 0, None),
+    fixed_run = make_fixed_runner(step_sample, config.num_burst_samples)
+    if autotune:
+        # Decays are FROZEN at their end-of-warmup values — the sampling
+        # kernel is fixed, so exactness is untouched.
+        _burst = jax.jit(
+            jax.vmap(fixed_run, in_axes=(0, 0, 0, 0, None, None))
         )
-    )
+        burst = lambda k, s, ss, im, m: _burst(k, s, ss, im, m, decays)
+    else:
+        burst = jax.jit(jax.vmap(fixed_run, in_axes=(0, 0, 0, 0, None)))
 
     # Host-side HDF5 writes run on a single worker thread so burst b's
     # write overlaps burst b+1's device compute; checkpoints lag one burst
@@ -581,7 +642,7 @@ def run_mcmc(
             step_size=step_size,
             inv_mass_diag=inv_mass,
             offset=offset,
-            extra={"burst": b + 1},
+            extra={"burst": b + 1, "log_decays": list(log_decays)},
         )
         _log(f"burst {b + 1}/{config.num_bursts}")
         if gating:
@@ -659,6 +720,40 @@ def _report_diagnostics(posterior, warmup_total, C, squeeze, sampling_wall,
              + (f" R-hat={entry['rhat']}" if "rhat" in entry else ""))
 
 
+def initialize_from_cases(cases, N, seed):
+    """The production initialization (reference inference.py:490-513):
+    tile the last week 3x as an occult runway, geometrically impute the
+    latent S->E / E->I events from the observed I->R cases, reconstruct
+    the state, take the initial state at the inference start, and clip
+    the 21-day runway off the events.
+
+    Args:
+      cases: ``[M, T0]`` observed daily case (removal) counts.
+      N: ``[M]`` population sizes.
+      seed: imputation RNG seed.
+
+    Returns:
+      (initial_state ``[M, 4]`` float64 numpy, events ``[M, T, 3]`` float64
+      numpy) with ``T = T0 + 21 - 21 = T0``.
+    """
+    cases = np.asarray(cases, np.float64)
+    cases_ext = np.concatenate(
+        [cases, np.tile(cases[:, -7:], (1, 3))], axis=1
+    )
+    events_full = impute.impute_censored_events(cases_ext, seed=seed)
+    N = np.squeeze(np.asarray(N, np.float64))
+    init0 = np.concatenate([N[:, None], np.zeros((N.shape[0], 3))], axis=-1)
+    state_full = np.asarray(
+        seir.compute_state(
+            jnp.asarray(init0, jnp.float64), jnp.asarray(events_full)
+        )
+    )
+    start_time = state_full.shape[1] - cases_ext.shape[1]
+    initial_state = state_full[:, start_time, :]
+    events = events_full[:, start_time:-21, :]  # clip the runway
+    return initial_state, events
+
+
 def mcmc(data_file, output_file, config):
     """Constructs and runs the MCMC (reference inference.py:473-608).
 
@@ -685,24 +780,9 @@ def mcmc(data_file, output_file, config):
     cases = np.asarray(observations["cases"], np.float64)  # [M, T0]
     dates = observations.coords.get("time")
 
-    # Tile the last week 3x as an occult-initialization runway
-    # (reference inference.py:490-492).
-    cases_ext = np.concatenate([cases, np.tile(cases[:, -7:], (1, 3))], axis=1)
-    events_full = impute.impute_censored_events(cases_ext, seed=config.seed)
-
-    # Initial state at the inference start (reference inference.py:500-513).
-    N = np.squeeze(np.asarray(constant_data["N"], np.float64))
-    init0 = np.concatenate(
-        [N[:, None], np.zeros((N.shape[0], 3))], axis=-1
+    initial_state, events = initialize_from_cases(
+        cases, constant_data["N"], config.seed
     )
-    state_full = np.asarray(
-        seir.compute_state(
-            jnp.asarray(init0, jnp.float64), jnp.asarray(events_full)
-        )
-    )
-    start_time = state_full.shape[1] - cases_ext.shape[1]
-    initial_state = state_full[:, start_time, :]
-    events = events_full[:, start_time:-21, :]  # clip the runway
 
     T = events.shape[1]
     M = events.shape[0]

@@ -61,27 +61,45 @@ def _uniform_nonzero_time(key, counts):
     return t, n_nonzero
 
 
+def _static_uniform(decay):
+    """True iff ``decay`` is the static Python value 1.0 — the exactly-
+    uniform proposal fast path.  Traced decays (Robbins–Monro acceptance
+    autotuning passes them through the jit boundary so retuning never
+    recompiles) always take the geometric branch, clipped strictly inside
+    (0, 1) where every formula below is well-defined."""
+    return isinstance(decay, (float, int)) and decay == 1.0
+
+
+def _as_decay(decay):
+    """Clips a traced decay into (0, 1); static floats pass through."""
+    if isinstance(decay, (float, int)):
+        return decay
+    return jnp.clip(decay, 1e-3, 1.0 - 1e-6)
+
+
 def _sample_two_sided_geometric(key, left, right, decay):
     """Samples d from P(d) ~ decay^(|d|-1) on {-left..-1} u {1..right}.
 
     Returns (d, log_mass) where log_mass = log sum decay^(j-1) over the
     support — the only piece of the pmf that does NOT cancel in the
     forward/reverse Hastings ratio (decay^(|d|-1) is shared).
-    ``decay == 1.0`` (static) degenerates to the uniform proposal.
+    ``decay == 1.0`` (static) degenerates to the uniform proposal; a traced
+    decay takes the geometric branch (see :func:`_static_uniform`).
     """
     k_side, k_j = jax.random.split(key)
     left_f = left.astype(jnp.float32)
     right_f = right.astype(jnp.float32)
-    if decay == 1.0:
+    if _static_uniform(decay):
         mass_l, mass_r = left_f, right_f
     else:
+        decay = _as_decay(decay)
         mass_l = 1.0 - decay**left_f
         mass_r = 1.0 - decay**right_f
     total = jnp.maximum(mass_l + mass_r, 1e-30)
     go_right = jax.random.uniform(k_side, left.shape) < mass_r / total
     side_len = jnp.where(go_right, right_f, left_f)
     u = jax.random.uniform(k_j, left.shape)
-    if decay == 1.0:
+    if _static_uniform(decay):
         j = jnp.floor(u * jnp.maximum(side_len, 1.0)) + 1.0
     else:
         side_mass = 1.0 - decay**side_len
@@ -102,10 +120,11 @@ def _sample_truncated_geometric(key, cap, decay):
     """
     cap_f = jnp.maximum(cap, 1.0)
     u = jax.random.uniform(key, jnp.shape(cap))
-    if decay == 1.0:
+    if _static_uniform(decay):
         x = jnp.floor(u * cap_f) + 1.0
         log_mass = jnp.log(cap_f)
     else:
+        decay = _as_decay(decay)
         mass = 1.0 - decay**cap_f
         x = jnp.ceil(
             jnp.log(jnp.maximum(1.0 - u * mass, 1e-30)) / jnp.log(decay)
@@ -117,8 +136,9 @@ def _sample_truncated_geometric(key, cap, decay):
 def _log_mass_geometric(cap, decay):
     """log sum decay^(x-1) over {1..cap} (the reverse-side normalizer)."""
     cap_f = jnp.maximum(cap, 1.0)
-    if decay == 1.0:
+    if _static_uniform(decay):
         return jnp.log(cap_f)
+    decay = _as_decay(decay)
     return jnp.log(jnp.maximum(1.0 - decay**cap_f, 1e-30))
 
 
@@ -200,12 +220,13 @@ def _propose_moves(
     t_dst_safe = jnp.clip(t_dst, 0, T - 1)
     left_r = jnp.minimum(dmax, t_dst_safe)
     right_r = jnp.minimum(dmax, T - 1 - t_dst_safe)
-    if move_decay == 1.0:
+    if _static_uniform(move_decay):
         mass_rev = (left_r + right_r).astype(jnp.float32)
     else:
+        move_decay_ = _as_decay(move_decay)
         mass_rev = (
-            1.0 - move_decay ** left_r.astype(jnp.float32)
-        ) + (1.0 - move_decay ** right_r.astype(jnp.float32))
+            1.0 - move_decay_ ** left_r.astype(jnp.float32)
+        ) + (1.0 - move_decay_ ** right_r.astype(jnp.float32))
     log_mass_rev = jnp.log(jnp.maximum(mass_rev, 1e-30))
 
     # Joint evaluation: all mmax locations' deltas in ONE windowed eval
@@ -514,12 +535,13 @@ def _propose_pairs(
     )
     left_r = jnp.minimum(dmax, t1_dst)
     right_r = jnp.minimum(dmax, T - 1 - t2_dst)
-    if move_decay == 1.0:
+    if _static_uniform(move_decay):
         mass_rev = (left_r + right_r).astype(jnp.float32)
     else:
+        move_decay_ = _as_decay(move_decay)
         mass_rev = (
-            1.0 - move_decay ** left_r.astype(jnp.float32)
-        ) + (1.0 - move_decay ** right_r.astype(jnp.float32))
+            1.0 - move_decay_ ** left_r.astype(jnp.float32)
+        ) + (1.0 - move_decay_ ** right_r.astype(jnp.float32))
     log_mass_d_rev = jnp.log(jnp.maximum(mass_rev, 1e-30))
     cnt1_new = counts_se_new[jnp.arange(mmax), t1_dst]
     cnt2_new = counts_ei_new[jnp.arange(mmax), t2_dst]

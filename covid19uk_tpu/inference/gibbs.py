@@ -52,6 +52,12 @@ class ChainState(NamedTuple):
 class HMCTunables(NamedTuple):
     step_size: jnp.ndarray
     inv_mass_diag: jnp.ndarray  # [P] posterior-variance estimate
+    # Traced overrides of EventKernelConfig.move_decay, per move kernel
+    # (None -> use the static config value).  The driver's Robbins–Monro
+    # acceptance autotuning passes these through the jit boundary so a
+    # retuned decay never recompiles the window program.
+    move_decay_se: object = None
+    move_decay_ei: object = None
 
 
 class StepTrace(NamedTuple):
@@ -196,6 +202,17 @@ def make_mcmc_step(
         logp0 = hmc_info.target_log_prob  # logp(u_new, old events)
         g0_init = u_new[3]  # gamma0 (identity bijection at index 3)
 
+        md_se = (
+            cfg.move_decay
+            if tune.move_decay_se is None
+            else tune.move_decay_se
+        )
+        md_ei = (
+            cfg.move_decay
+            if tune.move_decay_ei is None
+            else tune.move_decay_ei
+        )
+
         def potential(st):
             # log infectious person-time: the gamma0 likelihood ridge is
             # exp(gamma0) * PT ~ total removals (see compensated_move_step)
@@ -226,12 +243,12 @@ def make_mcmc_step(
             ka, kb, kc, kd, ke, kf = jax.random.split(k, 6)
             events, st, commute_live, logp, i_mse = unpack(event_move_step(
                 ka, events, st, logp, move_eval, 0,
-                cfg.dmax, cfg.mmax, cfg.nmax, cfg.move_decay, cfg.x_decay,
+                cfg.dmax, cfg.mmax, cfg.nmax, md_se, cfg.x_decay,
                 commute=commute_live,
             ))
             events, st, commute_live, logp, i_mei = unpack(event_move_step(
                 kb, events, st, logp, move_eval, 1,
-                cfg.dmax, cfg.mmax, cfg.nmax, cfg.move_decay, cfg.x_decay,
+                cfg.dmax, cfg.mmax, cfg.nmax, md_ei, cfg.x_decay,
                 commute=commute_live,
             ))
             events, st, commute_live, logp, i_ose = unpack(occult_step(

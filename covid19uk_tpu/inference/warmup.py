@@ -62,12 +62,14 @@ def make_window_runner(mcmc_step, num_draws: int, adapt_mass: bool):
     """
 
     def run(key, state: ChainState, da_state, wf_state, inv_mass,
-            model=None):
+            model=None, decays=None):
         def body(carry, k):
             state, da, wf, inv_mass = carry
             tune = HMCTunables(
                 step_size=dual_averaging.step_size(da),
                 inv_mass_diag=inv_mass,
+                move_decay_se=None if decays is None else decays[0],
+                move_decay_ei=None if decays is None else decays[1],
             )
             state, trace = mcmc_step(k, state, tune, model)
             accept = jnp.exp(
@@ -93,8 +95,14 @@ def make_fixed_runner(mcmc_step, num_draws: int):
     """Fixed-tuning sampling burst (reference make_fixed_window_sampler,
     inference.py:199-242)."""
 
-    def run(key, state: ChainState, step_size, inv_mass, model=None):
-        tune = HMCTunables(step_size=step_size, inv_mass_diag=inv_mass)
+    def run(key, state: ChainState, step_size, inv_mass, model=None,
+            decays=None):
+        tune = HMCTunables(
+            step_size=step_size,
+            inv_mass_diag=inv_mass,
+            move_decay_se=None if decays is None else decays[0],
+            move_decay_ei=None if decays is None else decays[1],
+        )
 
         def body(state, k):
             state, trace = mcmc_step(k, state, tune, model)

@@ -94,11 +94,50 @@ class Posterior:
         self._file.flush()
 
     @classmethod
-    def open(cls, path):
-        """Re-opens an existing posterior store for resumed appends."""
+    def open(cls, path, sample_dict=None, results_dict=None):
+        """Re-opens an existing posterior store for resumed appends.
+
+        When ``sample_dict``/``results_dict`` templates are given (same
+        convention as the constructor: first dim = draw axis, ignored),
+        every dataset's trailing shape and dtype are checked against the
+        template so a resume with a changed ``num_chains``/``thin``/model
+        shape fails fast instead of scribbling misaligned rows.
+        """
         self = cls.__new__(cls)
         self._file = h5py.File(path, "r+")
         self._num_samples = None
+
+        def check(group, d):
+            for k, v in d.items():
+                name = group + "/" + k
+                if isinstance(v, dict):
+                    if name not in self._file:
+                        raise ValueError(
+                            f"resume: store {path!r} is missing group "
+                            f"{name!r} required by the current config"
+                        )
+                    check(name, v)
+                    continue
+                v = np.asarray(v)
+                if name not in self._file:
+                    raise ValueError(
+                        f"resume: store {path!r} is missing dataset "
+                        f"{name!r} required by the current config"
+                    )
+                ds = self._file[name]
+                if ds.shape[1:] != v.shape[1:] or ds.dtype != v.dtype:
+                    raise ValueError(
+                        f"resume: store dataset {name!r} has trailing shape "
+                        f"{ds.shape[1:]} dtype {ds.dtype}, but the current "
+                        f"run expects {v.shape[1:]} dtype {v.dtype} — the "
+                        "resumed config (num_chains/thin/dtype/model shape) "
+                        "does not match the original run"
+                    )
+
+        if sample_dict is not None:
+            check("samples", sample_dict)
+        if results_dict is not None:
+            check("results", results_dict)
         return self
 
     def create_dataset(self, name, data):

@@ -143,15 +143,20 @@ import pytest
 
 
 @pytest.mark.parametrize(
-    "move_decay,x_decay", [(0.9, 1.0), (1.0, 1.0), (0.9, 0.7)]
+    "move_decay,x_decay",
+    [(0.9, 1.0), (1.0, 1.0), (0.9, 0.7), ("traced-0.85", 0.7)],
 )
 def test_event_move_kernel_exact_stationarity(move_decay, x_decay):
     """Move kernel preserves an enumerable target distribution exactly —
-    under both the geometric and the uniform displacement proposals.
+    under both the geometric and the uniform displacement proposals, and
+    with the decay passed as a TRACED scalar (the acceptance-autotuning
+    path: driver.py passes retuned decays through the jit boundary).
 
     M=1 location, T=4 times, 3 total events of type 0 => 20 states.
     Target: arbitrary smooth positive weights.  Chi-square the occupancy.
     """
+    if isinstance(move_decay, str):
+        move_decay = jnp.asarray(float(move_decay.split("-")[1]), jnp.float64)
     T, total = 4, 3
     w = jnp.asarray(np.array([0.2, 1.0, -0.5, 0.7]), jnp.float64)
 
