@@ -80,6 +80,13 @@ def save_group(path, group_name, group: Group, mode="a"):
         dim_sizes.setdefault(dim, len(np.asarray(coord)))
 
     with h5py.File(path, mode) as f:
+        # netCDF4-c stamps every file it writes; emit the same marker so
+        # format-sniffing readers recognize the profile
+        # (tools/nc4_validate.py documents the spec references).
+        if "_NCProperties" not in f.attrs:
+            f.attrs["_NCProperties"] = np.bytes_(
+                "version=2,netcdf=4.8.1,hdf5=1.12.1"
+            )
         if group_name in f:
             del f[group_name]
         g = f.create_group(group_name)
@@ -87,7 +94,7 @@ def save_group(path, group_name, group: Group, mode="a"):
             g.attrs[k] = v
 
         scales = {}
-        for dim, size in dim_sizes.items():
+        for dimid, (dim, size) in enumerate(dim_sizes.items()):
             if dim in group.coords:
                 d = g.create_dataset(dim, data=_encode(group.coords[dim]))
                 d.make_scale(dim)
@@ -99,6 +106,10 @@ def save_group(path, group_name, group: Group, mode="a"):
             else:
                 d = g.create_dataset(dim, shape=(size,), dtype="f4")
                 d.make_scale(f"{_PHONY_DIM_NAME} {size}")
+            # netCDF4-c's dimension-id bookkeeping: unique per group, in
+            # creation order — netcdf-c uses it to reconstruct dimension
+            # ordering on open.
+            d.attrs["_Netcdf4Dimid"] = np.int32(dimid)
             scales[dim] = d
 
         for name, arr in group.variables.items():
