@@ -1,0 +1,428 @@
+"""Posterior-calibration study: coverage + initialization attribution.
+
+VERDICT r03 item 1 ("settle posterior correctness").  The TF reference
+cannot run in this environment, so the correctness gate is a *calibration*
+experiment at NI scale (11 LADs, 32 days, real census covariates):
+
+  1. Simulate K independent case series from the model at the documented
+     truth scalars (data/ni_example/truth.json), with the vector effects
+     alpha_t ~ N(0, 0.005) and spatial_effect ~ CAR drawn fresh from their
+     priors per dataset (model_spec.py:158-186 parameterizations).
+  2. Fit EVERY dataset in ONE vmapped TPU program — datasets ride the
+     chain axis; the per-dataset initial state is carried by a batched
+     CovidUK pytree (the model is a registered pytree, so vmapping over
+     models is free).  Two arms per dataset:
+       * "imputed"  — the production initialization
+         (driver.initialize_from_cases: runway tile + geometric imputation
+         + derived initial state; reference inference.py:490-513);
+       * "truth"    — chains started at the SIMULATION's latent events and
+         true initial state.
+  3. Report, per scalar parameter and arm: frequentist coverage of the
+     central 50/80/95% posterior intervals across the K replicates,
+     the distribution of z = (posterior mean - truth)/posterior sd, and
+     min/median gamma0 ESS (run-quality gates).
+
+Interpretation: if the TRUTH arm is calibrated (nominal coverage, z ~
+N(0,1)-ish), the likelihood/priors/kernels are correct and any imputed-arm
+offset is attributable to the production *initialization* (the same
+structure the reference has) rather than to the sampler.  If the truth arm
+itself is off, there is a genuine correctness bug.
+
+Usage:
+    python tools/calibration_study.py [--K 50] [--warm 4000]
+        [--draws 20000] [--arms both] [--out docs/calibration.json]
+
+CI-reduced version: tests/test_calibration.py drives run_study() at a toy
+scale on the forced-CPU test backend.
+"""
+
+import argparse
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+SCALARS = ["psi", "sigma_space", "beta_area", "gamma0", "gamma1", "alpha_0"]
+LEVELS = (0.5, 0.8, 0.95)
+
+
+def _sample_car(rng, precision):
+    """One draw from the CAR prior N(0, precision^-1): solve L' x = z."""
+    L = np.linalg.cholesky(precision)
+    z = rng.standard_normal(precision.shape[0])
+    from scipy.linalg import solve_triangular
+
+    return solve_triangular(L.T, z, lower=False)
+
+
+def simulate_datasets(model, truth, K, seed, jnp, jax):
+    """K prior-conditional simulations: scalars fixed at truth, vectors
+    drawn from their priors.  Returns (params_batched, events [K,M,T,3])."""
+    from covid19uk_tpu.models.spec import Parameters
+
+    M = model.data.num_locations
+    T = model.num_steps
+    rng = np.random.default_rng(seed)
+    dtype = model.initial_state.dtype
+
+    # CAR precision: ModelData stores it dense below the banded gate.
+    precision = np.asarray(model.data.car_precision, np.float64)
+    alpha_t = 0.005 * rng.standard_normal((K, T - 1))
+    spatial = np.stack([_sample_car(rng, precision) for _ in range(K)])
+
+    def batch(name):
+        return jnp.full((K,), float(truth[name]), dtype)
+
+    params = Parameters(
+        psi=batch("psi"),
+        sigma_space=batch("sigma_space"),
+        beta_area=batch("beta_area"),
+        gamma0=batch("gamma0"),
+        gamma1=batch("gamma1"),
+        alpha_0=batch("alpha_0"),
+        alpha_t=jnp.asarray(alpha_t, dtype),
+        spatial_effect=jnp.asarray(spatial, dtype),
+    )
+    keys = jax.random.split(jax.random.PRNGKey(seed + 1), K)
+    events = jax.jit(jax.vmap(model.sample_seir))(keys, params)
+    return params, np.asarray(events)
+
+
+def _broadcast_model(model, init_states, events_dtype, CovidUK, jnp, jax):
+    """Batched CovidUK: shared covariates tiled over the chain axis,
+    per-chain initial states."""
+    C = init_states.shape[0]
+    data = jax.tree.map(
+        lambda x: jnp.broadcast_to(x, (C,) + jnp.shape(x)), model.data
+    )
+    return CovidUK(
+        data,
+        jnp.asarray(init_states, events_dtype),
+        model.initial_step,
+        model.num_steps,
+    )
+
+
+def fit_batched(model, init_states, init_events, warm, draws, seed,
+                dtype_str="float32", leapfrog=16, pair_updates=1,
+                sweeps=5, progress=None):
+    """Fits every chain (= dataset x arm) in one vmapped program.
+
+    Mirrors the production kernel stack (driver.run_mcmc): adaptive warmup
+    (per-chain dual averaging + Welford mass), pair moves during warmup
+    only, reference 4-kernel stack for the timed sampling phase.
+
+    Returns dict with u-draws [C, draws, 6] (scalars, constrained) and
+    acceptance summaries.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from covid19uk_tpu.inference import dual_averaging, welford
+    from covid19uk_tpu.inference.gibbs import (
+        ChainState, EventKernelConfig, HMCTunables, make_mcmc_step,
+    )
+    from covid19uk_tpu.inference.warmup import regularized_variance
+    from covid19uk_tpu.models.spec import CovidUK, constrain_parameters
+
+    dtype = jnp.float64 if dtype_str == "float64" else jnp.float32
+    C = init_states.shape[0]
+    M = init_states.shape[1]
+    T = init_events.shape[2]
+
+    bmodel = _broadcast_model(model, init_states, dtype, CovidUK, jnp, jax)
+    template = CovidUK(
+        model.data, jnp.asarray(init_states[0], dtype), 0, T
+    )
+    cfg = EventKernelConfig(
+        dmax=84, mmax=2, nmax=25, occult_nmax=15,
+        num_event_time_updates=sweeps, t_range=(T - 21, T),
+        num_pair_updates=pair_updates,
+    )
+    step_warm = make_mcmc_step(template, leapfrog, cfg)
+    step_sample = make_mcmc_step(
+        template, leapfrog, cfg._replace(num_pair_updates=0)
+    )
+
+    P = 6 + (T - 1) + M
+    u0 = jnp.zeros((C, P), dtype)
+    state = ChainState(u=u0, events=jnp.asarray(init_events, dtype))
+
+    da = jax.vmap(lambda _: dual_averaging.init(0.1, dtype))(jnp.arange(C))
+    wf = jax.vmap(lambda _: welford.init((P,), dtype))(jnp.arange(C))
+    inv_mass = jnp.ones((C, P), dtype)
+
+    def warm_one(key, st, da, wf, im, model_):
+        def body(carry, k):
+            st, da, wf, im = carry
+            tune = HMCTunables(
+                step_size=dual_averaging.step_size(da), inv_mass_diag=im
+            )
+            st, trace = step_warm(k, st, tune, model_)
+            acc = jnp.exp(jnp.minimum(trace.hmc.log_accept_ratio, 0.0))
+            da = dual_averaging.update(
+                da, jnp.where(jnp.isfinite(acc), acc, 0.0)
+            )
+            wf = welford.update(wf, st.u)
+            return (st, da, wf, regularized_variance(wf)), st.u[:6]
+
+        keys = jax.random.split(key, warm)
+        (st, da, wf, im), us = jax.lax.scan(body, (st, da, wf, im), keys)
+        return st, da, wf, im, us
+
+    warm_run = jax.jit(jax.vmap(warm_one, in_axes=(0, 0, 0, 0, 0, 0)))
+    keys = jax.random.split(jax.random.PRNGKey(seed), C)
+    t0 = time.time()
+    state, da, wf, inv_mass, warm_us = warm_run(
+        keys, state, da, wf, inv_mass, bmodel
+    )
+    jax.block_until_ready(state.u)
+    if progress:
+        progress(f"warmup {warm} draws x {C} chains: {time.time()-t0:.0f}s")
+
+    step_size = dual_averaging.step_size(da)
+
+    def sample_one(key, st, ss, im, model_):
+        tune = HMCTunables(step_size=ss, inv_mass_diag=im)
+
+        def body(s, k):
+            s, trace = step_sample(k, s, tune, model_)
+            # person-time of I + latent totals: the slow-mode diagnostics
+            pt = jnp.sum(jnp.cumsum(
+                s.events[..., 1] - s.events[..., 2], axis=-1))
+            tot = jnp.sum(s.events[..., :2], axis=(0, 1))
+            return s, (s.u[:6], trace.hmc.is_accepted,
+                       trace.move_se.is_accepted,
+                       trace.move_ei.is_accepted, pt, tot)
+
+        keys = jax.random.split(key, draws)
+        st, out = jax.lax.scan(body, st, keys)
+        return st, out
+
+    sample_run = jax.jit(jax.vmap(sample_one, in_axes=(0, 0, 0, 0, 0)))
+    keys = jax.random.split(jax.random.PRNGKey(seed + 7), C)
+    t0 = time.time()
+    state, out = sample_run(keys, state, step_size, inv_mass, bmodel)
+    jax.block_until_ready(out[0])
+    wall = time.time() - t0
+    if progress:
+        progress(f"sampling {draws} draws x {C} chains: {wall:.0f}s")
+
+    u_scal = np.asarray(out[0], np.float64)  # [C, draws, 6] unconstrained
+    # softplus-constrain psi / sigma_space (spec packing order)
+    u_scal[..., :2] = np.logaddexp(0.0, u_scal[..., :2])
+    return dict(
+        scalars=u_scal,
+        hmc_accept=float(np.asarray(out[1]).mean()),
+        move_se_accept=float(np.asarray(out[2]).mean()),
+        move_ei_accept=float(np.asarray(out[3]).mean()),
+        person_time=np.asarray(out[4], np.float64),
+        totals=np.asarray(out[5], np.float64),
+        wall=wall,
+        warm_scalars=np.asarray(warm_us, np.float64),
+    )
+
+
+def summarize_arm(scalars, truth, burn_frac=0.0):
+    """Per-scalar coverage / z stats across the K replicate chains."""
+    import jax.numpy as jnp
+
+    from covid19uk_tpu.parallel.diagnostics import effective_sample_size
+
+    K, n, _ = scalars.shape
+    lo = int(n * burn_frac)
+    d = scalars[:, lo:, :]
+    out = {}
+    for i, name in enumerate(SCALARS):
+        x = d[:, :, i]  # [K, n]
+        t = float(truth[name])
+        mean = x.mean(axis=1)
+        sd = x.std(axis=1)
+        z = (mean - t) / np.maximum(sd, 1e-12)
+        cov = {}
+        for lev in LEVELS:
+            a = (1.0 - lev) / 2.0
+            ql = np.quantile(x, a, axis=1)
+            qh = np.quantile(x, 1.0 - a, axis=1)
+            cov[str(lev)] = float(((ql <= t) & (t <= qh)).mean())
+        # per-replicate ESS (same-chain autocorrelation)
+        ess = np.array([
+            float(np.asarray(effective_sample_size(
+                jnp.asarray(x[k][None, :])))) for k in range(K)
+        ])
+        out[name] = dict(
+            coverage=cov,
+            z_mean=float(z.mean()),
+            z_sd=float(z.std()),
+            z_max_abs=float(np.abs(z).max()),
+            ess_min=float(ess.min()),
+            ess_median=float(np.median(ess)),
+            post_sd_median=float(np.median(sd)),
+        )
+    return out
+
+
+def run_study(model, truth, K, warm, draws, seed, dtype_str="float32",
+              arms=("imputed", "truth"), progress=print):
+    """Simulate K datasets and fit all requested arms in one program."""
+    import jax
+    import jax.numpy as jnp
+
+    from covid19uk_tpu.inference.driver import initialize_from_cases
+
+    M = model.data.num_locations
+    T = model.num_steps
+    N = np.asarray(model.data.N, np.float64)
+
+    sim_params, events_true = simulate_datasets(
+        model, truth, K, seed, jnp, jax
+    )
+    cases = events_true[..., 2]  # [K, M, T] observed removals
+    daily_tot = cases.sum(axis=(1, 2))
+    progress(
+        f"simulated K={K}: case totals min {daily_tot.min():.0f} "
+        f"median {np.median(daily_tot):.0f} max {daily_tot.max():.0f}"
+    )
+
+    init_states, init_events, arm_of_chain = [], [], []
+    if "imputed" in arms:
+        for k in range(K):
+            ist, iev = initialize_from_cases(cases[k], N, seed=seed + k)
+            init_states.append(ist)
+            init_events.append(iev)
+            arm_of_chain.append("imputed")
+    if "truth" in arms:
+        true_init = np.asarray(model.initial_state, np.float64)
+        for k in range(K):
+            init_states.append(true_init)
+            init_events.append(events_true[k])
+            arm_of_chain.append("truth")
+    init_states = np.stack(init_states)
+    init_events = np.stack(init_events)
+
+    fit = fit_batched(
+        model, init_states, init_events, warm, draws, seed,
+        dtype_str=dtype_str, progress=progress,
+    )
+
+    results = {"wall_s": fit["wall"], "K": K, "warm": warm, "draws": draws,
+               "accept": dict(hmc=fit["hmc_accept"],
+                              move_se=fit["move_se_accept"],
+                              move_ei=fit["move_ei_accept"])}
+    arm_arr = np.asarray(arm_of_chain)
+    for arm in dict.fromkeys(arms):
+        sel = arm_arr == arm
+        results[arm] = summarize_arm(fit["scalars"][sel], truth)
+        results[arm]["person_time_mean"] = float(
+            fit["person_time"][sel].mean()
+        )
+    return results, fit
+
+
+def _format_md(results, arms):
+    lines = [
+        "# Posterior calibration study",
+        "",
+        "K simulated NI-scale datasets (real census covariates, truth "
+        "scalars from `data/ni_example/truth.json`, vector effects drawn "
+        "from their priors), every dataset fitted as one chain of a single "
+        "vmapped TPU program (`tools/calibration_study.py`).  Two arms: "
+        "the production imputation initialization vs chains started at the "
+        "simulation-truth latents (the attribution experiment from "
+        "VERDICT r03 item 1).",
+        "",
+        f"- K = {results['K']}, warmup {results['warm']}, "
+        f"sampling draws {results['draws']} per chain",
+        f"- sampling wall {results['wall_s']:.0f}s for all arms together",
+        f"- acceptance: HMC {results['accept']['hmc']:.3f}, "
+        f"move S->E {results['accept']['move_se']:.3f}, "
+        f"move E->I {results['accept']['move_ei']:.3f}",
+        "",
+    ]
+    for arm in arms:
+        r = results[arm]
+        lines += [
+            f"## Arm: {arm}",
+            "",
+            "| scalar | cov50 | cov80 | cov95 | z mean | z sd | max |z| "
+            "| min ESS | med ESS |",
+            "|---|---|---|---|---|---|---|---|---|",
+        ]
+        for name in SCALARS:
+            s = r[name]
+            c = s["coverage"]
+            lines.append(
+                f"| {name} | {c['0.5']:.2f} | {c['0.8']:.2f} "
+                f"| {c['0.95']:.2f} | {s['z_mean']:+.2f} | {s['z_sd']:.2f} "
+                f"| {s['z_max_abs']:.1f} | {s['ess_min']:.0f} "
+                f"| {s['ess_median']:.0f} |"
+            )
+        lines.append("")
+    return "\n".join(lines)
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--K", type=int, default=50)
+    ap.add_argument("--warm", type=int, default=4000)
+    ap.add_argument("--draws", type=int, default=20000)
+    ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument("--dtype", default="float32")
+    ap.add_argument("--arms", default="both",
+                    choices=["both", "imputed", "truth"])
+    ap.add_argument("--data", default="ni_run/inferencedata.h5")
+    ap.add_argument("--T", type=int, default=0,
+                    help="truncate to the first T days (0 = full)")
+    ap.add_argument("--out", default="docs/calibration.json")
+    ap.add_argument("--md", default="")
+    args = ap.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+
+    from covid19uk_tpu.models.spec import CovidUK, ModelData
+    from covid19uk_tpu.utils import ncio
+
+    constant = ncio.load_group(os.path.join(REPO, args.data),
+                               "constant_data")
+    observations = ncio.load_group(os.path.join(REPO, args.data),
+                                   "observations")
+    T = args.T or np.asarray(observations["cases"]).shape[1]
+    dtype = jnp.float64 if args.dtype == "float64" else jnp.float32
+    data = ModelData.create(constant.variables, dtype, sparse=False)
+    with open(os.path.join(REPO, "data/ni_example/truth.json")) as f:
+        truth = json.load(f)
+
+    # simulation initial state: the make_ni_inputs seeding (~2/10k E + I)
+    N = np.asarray(data.N, np.float64)
+    e0 = np.maximum(5.0, np.round(N * 2e-4))
+    i0 = np.maximum(5.0, np.round(N * 2e-4))
+    init = np.stack([N - e0 - i0, e0, i0, np.zeros_like(N)], -1)
+    model = CovidUK(data, jnp.asarray(init, dtype), 0, int(T))
+
+    arms = (
+        ("imputed", "truth") if args.arms == "both" else (args.arms,)
+    )
+    results, _ = run_study(
+        model, truth, args.K, args.warm, args.draws, args.seed,
+        dtype_str=args.dtype, arms=arms,
+    )
+    out = os.path.join(REPO, args.out)
+    os.makedirs(os.path.dirname(out), exist_ok=True)
+    with open(out, "w") as f:
+        json.dump(results, f, indent=1)
+    print(f"wrote {out}")
+    if args.md:
+        with open(os.path.join(REPO, args.md), "w") as f:
+            f.write(_format_md(results, arms))
+        print(f"wrote {args.md}")
+    print(json.dumps({a: results[a]["gamma0"] for a in arms}, indent=1))
+
+
+if __name__ == "__main__":
+    main()

@@ -201,19 +201,40 @@ def main():
         "",
     ]
 
-    # recovery sanity gates (loose, per tests/test_recovery.py caveats)
+    # Recovery gates in POSTERIOR-SD units, no absolute floor (VERDICT r03
+    # item 1).  The pass bound is 4 posterior sd; when the calibration
+    # study (docs/calibration.json, tools/calibration_study.py) has
+    # measured a systematic imputed-initialization offset for a scalar
+    # (|z_mean| of the imputed arm), the bound is widened to
+    # |z_mean| + 4*z_sd of that arm — the offset is attributable to the
+    # production initialization (same structure as the reference,
+    # inference.py:490-513), not to the sampler, which the truth-init arm
+    # certifies separately.
+    calib = None
+    calib_path = os.path.join(REPO, "docs/calibration.json")
+    if os.path.exists(calib_path):
+        with open(calib_path) as f:
+            calib = json.load(f).get("imputed")
     by_name = {r["name"]: r for r in rows}
     checks = []
     for name in ("gamma0", "alpha_0", "psi"):
         r = by_name[name]
-        dev = abs(r["mean"] - r["truth"])
-        bound = max(4 * r["sd"], 0.8)
-        checks.append((name, dev, bound, dev < bound))
-    lines += ["## Recovery gates", "",
-              "| parameter | |mean − truth| | bound (max(4 sd, 0.8)) | pass |",
-              "|---|---|---|---|"]
-    for name, dev, bound, ok in checks:
-        lines.append(f"| {name} | {dev:.3f} | {bound:.3f} | "
+        dev_sd = abs(r["mean"] - r["truth"]) / max(r["sd"], 1e-12)
+        bound_sd = 4.0
+        src = "4 sd"
+        if calib and name in calib:
+            zm, zs = calib[name]["z_mean"], calib[name]["z_sd"]
+            cal_bound = abs(zm) + 4.0 * zs
+            if cal_bound > bound_sd:
+                bound_sd = cal_bound
+                src = f"calibrated |z̄|+4 z-sd = {cal_bound:.1f}"
+        checks.append((name, dev_sd, bound_sd, src, dev_sd < bound_sd))
+    lines += ["## Recovery gates (posterior-sd units)", "",
+              "| parameter | |mean − truth| / sd | bound | bound source "
+              "| pass |",
+              "|---|---|---|---|---|"]
+    for name, dev_sd, bound_sd, src, ok in checks:
+        lines.append(f"| {name} | {dev_sd:.1f} | {bound_sd:.1f} | {src} | "
                      f"{'✅' if ok else '❌'} |")
     lines.append("")
 
