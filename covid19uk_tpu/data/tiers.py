@@ -176,12 +176,19 @@ class TierData:
             index="date", columns="lad19cd", values="alert_level"
         ).sort_index()
         grid = pd.date_range(date_low, date_high - np.timedelta64(1, "D"))
-        wide = wide.reindex(grid.union(wide.index)).ffill().bfill()
-        wide = wide.loc[grid]
+        # Forward-fill over the union index, slice to the grid, THEN
+        # backfill — so a level observed strictly after date_high cannot
+        # leak backward into the window (the reference backfills only
+        # within the grid; tiers.py:86-92).
+        wide = wide.reindex(grid.union(wide.index)).ffill()
+        wide = wide.loc[grid].bfill()
 
         codes = list(wide.columns)
-        levels = np.unique(long["alert_level"].to_numpy())
         vals = wide.to_numpy()  # [D, C]
+        # Level axis from the values actually present on the grid — a level
+        # observed only outside [date_low, date_high) must not create an
+        # all-zero slice (the reference's MultiIndex is built post-reindex).
+        levels = np.unique(vals[~np.isnan(vals)].astype(int))
         d_idx, c_idx = np.nonzero(~np.isnan(vals))
         l_idx = np.searchsorted(levels, vals[d_idx, c_idx].astype(int))
         arr = _one_hot(grid, codes, levels, d_idx, c_idx, l_idx)
@@ -201,9 +208,10 @@ class TierData:
         configured ``lockdown_states`` level list.
 
         Tiers announced after 2020-12-02 are distinct policy regimes and are
-        renamed ``dec_<tier>`` before encoding (tiers.py:116-121).  Only the
-        dates actually present in the (filtered) table appear on the date
-        axis — matching the reference, which never reindexes this format."""
+        renamed ``dec_<tier>`` before encoding (tiers.py:116-121).  The date
+        axis is the dates present in the (filtered) table plus ``date_low``
+        (the reference never reindexes this format, but its TESTLAD rows
+        pin date_low onto the axis)."""
         sub = df.assign(
             date=pd.to_datetime(df["date"], format="%Y-%m-%d"),
             code=merge_lad_codes(df["code"]),
@@ -223,7 +231,12 @@ class TierData:
         )
         sub = sub[in_span].drop_duplicates(["date", "code", "tier"])
 
-        dates = np.sort(sub["date"].unique())
+        # The reference's TESTLAD injection (tiers.py:127-137) dates its
+        # fake rows at date_low, which forces date_low onto the date axis
+        # even when no real row falls on it — keep that axis shape.
+        dates = np.union1d(
+            sub["date"].unique(), np.asarray([date_low], "datetime64[ns]")
+        )
         codes = np.sort(sub["code"].unique())
         levels = list(lockdown_states)
         # Rows whose tier is outside lockdown_states still define the

@@ -118,8 +118,14 @@ def conditional_gp(
     marginal is over noisy *observations* at the new points; pass ``0.0``
     for the latent function).
     """
-    x = jnp.atleast_2d(jnp.asarray(gp.index_points))
-    xs = jnp.atleast_2d(jnp.asarray(new_index_points))
+    def _as_points(pts):
+        # A plain (N,) vector means N scalar points, i.e. [N, 1] — NOT the
+        # atleast_2d reading of one N-dimensional point [1, N].
+        pts = jnp.asarray(pts)
+        return pts[:, None] if pts.ndim == 1 else pts
+
+    x = _as_points(gp.index_points)
+    xs = _as_points(new_index_points)
     y = jnp.asarray(observations)
     dtype = y.dtype
     noise = jnp.asarray(gp.observation_noise_variance, dtype)

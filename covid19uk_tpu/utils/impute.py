@@ -94,9 +94,14 @@ def generate_case_numbers(n, rate, rng):
       rng: ``np.random.Generator``.
 
     Returns:
-      ``[num_rounds, ...]`` float array; sums to ``n`` over axis 0.
+      ``[num_rounds, ...]`` float array; sums to ``rint(n)`` over axis 0.
     """
-    remaining = np.asarray(n, np.float64)
+    # Counts must be finite non-negative integers or the depletion loop
+    # cannot terminate (Binomial(floor(0.5), p) draws 0 forever); round to
+    # the nearest integer up front and validate.
+    remaining = np.rint(np.asarray(n, np.float64))
+    if not np.isfinite(remaining).all() or (remaining < 0).any():
+        raise ValueError("generate_case_numbers: n must be finite and >= 0")
     prob = 1.0 - np.exp(-float(rate))
     rounds = []
     while remaining.sum() > 0:
