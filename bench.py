@@ -34,9 +34,18 @@ Prints exactly one JSON line:
   {"metric": "ess_per_sec_fulluk", "value": mean, "unit": "min-ESS/sec",
    "vs_baseline": mean_ratio, "sd": sd, "seeds": N_SEEDS,
    "runs": [per-segment values]}
+
+``python bench.py --with-real`` additionally runs the SAME methodology on
+the real-census full-UK covariates (`data/uk_example/inferencedata.h5`,
+assembled from /root/reference/data/mergedflows.csv +
+c2019modagepop.csv by tools/make_uk_inputs.py) and prints a second JSON
+line with metric "ess_per_sec_fulluk_real" — same session, so the
+synthetic/real ratio is trustworthy (remote-tunnel walls vary ~2x between
+sessions).
 """
 
 import json
+import sys
 import time
 
 import numpy as np
@@ -107,7 +116,59 @@ def build(nchains, dtype_name="float32"):
     return model, step_warm, step_sample, state
 
 
-def main():
+def build_real(nchains, data_file, dtype_name="float32"):
+    """Same chain stack over the REAL census full-UK covariates: shared
+    seed-0 production imputation init (identical observed I->R slice per
+    chain), scalar jitter for chain diversity — warmup diversifies the
+    latents."""
+    import jax
+    import jax.numpy as jnp
+
+    from covid19uk_tpu.inference.driver import initialize_from_cases
+    from covid19uk_tpu.inference.gibbs import (
+        ChainState,
+        EventKernelConfig,
+        make_mcmc_step,
+    )
+    from covid19uk_tpu.models.spec import CovidUK, ModelData
+    from covid19uk_tpu.utils import ncio
+
+    dtype = jnp.float32 if dtype_name == "float32" else jnp.float64
+    constant = ncio.load_group(data_file, "constant_data")
+    observations = ncio.load_group(data_file, "observations")
+    cases = np.asarray(observations["cases"], np.float64)
+    data = ModelData.create(
+        constant.variables, dtype, num_chains=nchains, keep_C=False
+    )
+    init_state, events = initialize_from_cases(cases, data.N, seed=0)
+    Mr, Tr = events.shape[:2]
+    model = CovidUK(data, jnp.asarray(init_state, dtype), 0, Tr)
+
+    u0 = jnp.zeros((6 + (Tr - 1) + Mr,), dtype)
+    jitter = 0.05 * jax.random.normal(jax.random.PRNGKey(7), (nchains, 6),
+                                      dtype)
+    u = jnp.broadcast_to(u0, (nchains,) + u0.shape)
+    u = u.at[:, :6].add(jitter)
+    state = ChainState(
+        u=u,
+        events=jnp.broadcast_to(
+            jnp.asarray(events, dtype), (nchains,) + events.shape
+        ),
+    )
+    cfg = EventKernelConfig(
+        dmax=84, mmax=2, nmax=25, occult_nmax=15,
+        num_event_time_updates=5, t_range=(Tr - 21, Tr),
+        num_pair_updates=1,
+    )
+    step_warm = make_mcmc_step(model, 16, cfg)
+    step_sample = make_mcmc_step(
+        model, 16, cfg._replace(num_pair_updates=0)
+    )
+    return model, step_warm, step_sample, state
+
+
+def run_benchmark(model, step_warm, step_sample, state, metric,
+                  warm_draws=WARM_DRAWS):
     import jax
     import jax.numpy as jnp
 
@@ -118,7 +179,6 @@ def main():
     from covid19uk_tpu.models.spec import constrain_parameters
 
     C = NCHAINS
-    model, step_warm, step_sample, state = build(C)
     dtype = state.u.dtype
     P = state.u.shape[-1]
 
@@ -138,7 +198,7 @@ def main():
             inv_mass = regularized_variance(wf)
             return (state, da, wf, inv_mass), None
 
-        keys = jax.random.split(key, WARM_DRAWS)
+        keys = jax.random.split(key, warm_draws)
         (state, da, wf, inv_mass), _ = jax.lax.scan(
             body, (state, da, wf, inv_mass), keys
         )
@@ -207,19 +267,32 @@ def main():
         values.append(ess_min / wall)
         ratios.append(values[-1] / cpu_ess_per_sec)
 
-    print(
-        json.dumps(
-            {
-                "metric": "ess_per_sec_fulluk",
-                "value": round(float(np.mean(values)), 2),
-                "unit": "min-ESS/sec",
-                "vs_baseline": round(float(np.mean(ratios)), 2),
-                "sd": round(float(np.std(values)), 2),
-                "seeds": N_SEEDS,
-                "runs": [round(v, 2) for v in values],
-            }
+    return {
+        "metric": metric,
+        "value": round(float(np.mean(values)), 2),
+        "unit": "min-ESS/sec",
+        "vs_baseline": round(float(np.mean(ratios)), 2),
+        "sd": round(float(np.std(values)), 2),
+        "seeds": N_SEEDS,
+        "runs": [round(v, 2) for v in values],
+    }
+
+
+def main():
+    result = run_benchmark(*build(NCHAINS), metric="ess_per_sec_fulluk")
+    print(json.dumps(result))
+    if "--with-real" in sys.argv:
+        import os
+
+        data_file = os.path.join(
+            os.path.dirname(os.path.abspath(__file__)),
+            "data/uk_example/inferencedata.h5",
         )
-    )
+        real = run_benchmark(
+            *build_real(NCHAINS, data_file),
+            metric="ess_per_sec_fulluk_real",
+        )
+        print(json.dumps(real))
 
 
 if __name__ == "__main__":

@@ -24,7 +24,8 @@ sys.path.insert(0, ".")
 
 def run(scale, C, sweeps, mmax, move_decay, x_decay, n_draws, warm=300,
         leapfrog=16, seed=0, compensate=True, comp_updates=1, pair_updates=1,
-        pair_mmax=1, pair_comp=False, pair_decay=1.0):
+        pair_mmax=1, pair_comp=False, pair_decay=1.0, occult_range="ref",
+        pair_updates_sampling=None):
     import jax
     import jax.numpy as jnp
 
@@ -46,9 +47,10 @@ def run(scale, C, sweeps, mmax, move_decay, x_decay, n_draws, warm=300,
     state = jax.tree.map(
         lambda x: jnp.broadcast_to(x, (C,) + x.shape), single
     )
+    t_range = (0, T) if occult_range == "full" else (T - 21, T)
     cfg = EventKernelConfig(
         dmax=84, mmax=mmax, nmax=25, occult_nmax=15,
-        num_event_time_updates=sweeps, t_range=(T - 21, T),
+        num_event_time_updates=sweeps, t_range=t_range,
         move_decay=move_decay, x_decay=x_decay,
         compensate_gamma0=compensate,
         num_compensated_updates=comp_updates,
@@ -57,6 +59,13 @@ def run(scale, C, sweeps, mmax, move_decay, x_decay, n_draws, warm=300,
         pair_compensate_gamma0=pair_comp,
     )
     step = make_mcmc_step(model, leapfrog, cfg)
+    if pair_updates_sampling is not None:
+        step_sample = make_mcmc_step(
+            model, leapfrog,
+            cfg._replace(num_pair_updates=pair_updates_sampling),
+        )
+    else:
+        step_sample = step
 
     P = single.u.shape[-1]
     da = jax.vmap(lambda _: dual_averaging.init(0.1, jnp.float32))(
@@ -99,7 +108,7 @@ def run(scale, C, sweeps, mmax, move_decay, x_decay, n_draws, warm=300,
         tune = HMCTunables(step_size=step_size_, inv_mass_diag=inv_mass_)
 
         def body(s, k):
-            s, trace = step(k, s, tune, model_)
+            s, trace = step_sample(k, s, tune, model_)
             return s, (s.u, trace.hmc.is_accepted,
                        trace.move_se.is_accepted, trace.move_ei.is_accepted,
                        trace.occult_se.is_accepted,
@@ -164,6 +173,13 @@ def main():
                     " (compensated_pair_move_step)")
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("--pair-decay", type=float, default=1.0)
+    ap.add_argument("--occult-range", choices=["ref", "full"], default="ref",
+                    help="occult add/delete t_range: 'ref' = last 21 days "
+                    "(reference contract), 'full' = all of [0, T) — same "
+                    "invariant distribution, more totals mixing")
+    ap.add_argument("--pair-updates-sampling", type=int, default=None,
+                    help="pair updates in the TIMED phase (default: same "
+                    "as --pair-updates)")
     args = ap.parse_args()
 
     ess, acc, wall = run(
@@ -173,7 +189,8 @@ def main():
         compensate=not args.no_comp, comp_updates=args.comp_updates,
         pair_updates=args.pair_updates, pair_mmax=args.pair_mmax,
         pair_comp=args.pair_comp, seed=args.seed,
-        pair_decay=args.pair_decay,
+        pair_decay=args.pair_decay, occult_range=args.occult_range,
+        pair_updates_sampling=args.pair_updates_sampling,
     )
     min_ess = min(ess.values())
     argmin = min(ess, key=ess.get)
