@@ -89,6 +89,13 @@ class McmcConfig:
     sparse: str = "auto"
     dtype: str = "float32"
     seed: int = 1
+    # Geometric lag rates for the initialization imputation
+    # (I->R -> E->I lag, E->I -> S->E lag).  The default is the reference's
+    # (0.25, 0.5) (model_spec.py:108-126) — INCONSISTENT with the model's
+    # own sojourn rates; the calibration study (docs/calibration.md)
+    # attributes a −13 posterior-sd gamma0 recovery offset entirely to the
+    # initial state this derives.  (removal_rate_estimate, 0.28) reduces it.
+    impute_rates: tuple = (0.25, 0.5)
     checkpoint: Optional[str] = None
     log_file: Optional[str] = None
     profile_dir: Optional[str] = None
@@ -116,6 +123,15 @@ class McmcConfig:
             v = getattr(self, name)
             if not (0.0 < v <= 1.0):
                 raise ValueError(f"Mcmc.{name} must be in (0, 1], got {v!r}")
+        self.impute_rates = tuple(self.impute_rates)
+        if len(self.impute_rates) != 2 or any(
+            not (isinstance(r, (int, float)) and r > 0.0)
+            for r in self.impute_rates
+        ):
+            raise ValueError(
+                "Mcmc.impute_rates must be two positive rates, got "
+                f"{self.impute_rates!r}"
+            )
         if not (0.0 < self.move_accept_target < 1.0):
             raise ValueError(
                 "Mcmc.move_accept_target must be in (0, 1), got "

@@ -720,7 +720,7 @@ def _report_diagnostics(posterior, warmup_total, C, squeeze, sampling_wall,
              + (f" R-hat={entry['rhat']}" if "rhat" in entry else ""))
 
 
-def initialize_from_cases(cases, N, seed):
+def initialize_from_cases(cases, N, seed, impute_rates=(0.25, 0.5)):
     """The production initialization (reference inference.py:490-513):
     tile the last week 3x as an occult runway, geometrically impute the
     latent S->E / E->I events from the observed I->R cases, reconstruct
@@ -731,6 +731,11 @@ def initialize_from_cases(cases, N, seed):
       cases: ``[M, T0]`` observed daily case (removal) counts.
       N: ``[M]`` population sizes.
       seed: imputation RNG seed.
+      impute_rates: geometric lag rates (I->R->E->I, E->I->S->E); the
+        default is the reference's (0.25, 0.5).  These are inconsistent
+        with the model's own sojourn rates and bias the derived initial
+        state (gamma0 −13 posterior sd at NI scale, docs/calibration.md);
+        pass ``(removal_rate_estimate, 0.28)`` to reduce the offset.
 
     Returns:
       (initial_state ``[M, 4]`` float64 numpy, events ``[M, T, 3]`` float64
@@ -740,7 +745,9 @@ def initialize_from_cases(cases, N, seed):
     cases_ext = np.concatenate(
         [cases, np.tile(cases[:, -7:], (1, 3))], axis=1
     )
-    events_full = impute.impute_censored_events(cases_ext, seed=seed)
+    events_full = impute.impute_censored_events(
+        cases_ext, seed=seed, rates=impute_rates
+    )
     N = np.squeeze(np.asarray(N, np.float64))
     init0 = np.concatenate([N[:, None], np.zeros((N.shape[0], 3))], axis=-1)
     state_full = np.asarray(
@@ -781,7 +788,8 @@ def mcmc(data_file, output_file, config):
     dates = observations.coords.get("time")
 
     initial_state, events = initialize_from_cases(
-        cases, constant_data["N"], config.seed
+        cases, constant_data["N"], config.seed,
+        impute_rates=tuple(getattr(config, "impute_rates", (0.25, 0.5))),
     )
 
     T = events.shape[1]

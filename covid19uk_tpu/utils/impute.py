@@ -115,17 +115,25 @@ def generate_case_numbers(n, rate, rng):
     return np.stack(rounds, axis=0)
 
 
-def impute_censored_events(cases, seed=0):
+def impute_censored_events(cases, seed=0, rates=(0.25, 0.5)):
     """Builds the initial ``[M, T', 3]`` event tensor from observed cases.
 
     Mirrors ``model_spec.impute_censored_events`` (model_spec.py:108-126):
-    rates 0.25 (E->I lag behind I->R) and 0.5 (S->E lag behind E->I) are
-    application-tuned magic numbers preserved from the reference.
+    the default rates 0.25 (E->I lag behind I->R) and 0.5 (S->E lag behind
+    E->I) are application-tuned magic numbers preserved from the reference.
+
+    NOTE the defaults are INCONSISTENT with the model's own sojourn rates
+    (I->R rate exp(gamma0), E->I rate NU=0.28), and the mismatch inflates
+    the derived initial I_0 — the calibration study (docs/calibration.md)
+    measures a resulting −13 posterior-sd gamma0 recovery offset that is
+    entirely attributable to this fixed, conditioned-on initial state (the
+    reference shares the structure, inference.py:490-513).  Pass
+    ``rates=(removal_rate_estimate, 0.28)`` to reduce it.
     """
     rng = np.random.default_rng(seed)
     cases = np.asarray(cases, np.float64)
-    ei_events, lag_ei = impute_previous_cases(cases, 0.25, rng)
-    se_events, lag_se = impute_previous_cases(ei_events, 0.5, rng)
+    ei_events, lag_ei = impute_previous_cases(cases, rates[0], rng)
+    se_events, lag_se = impute_previous_cases(ei_events, rates[1], rng)
     ir_events = np.pad(cases, ((0, 0), (lag_ei + lag_se - 2, 0)))
     ei_events = np.pad(ei_events, ((0, 0), (lag_se - 1, 0)))
     return np.stack([se_events, ei_events, ir_events], axis=-1)

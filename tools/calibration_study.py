@@ -110,7 +110,7 @@ def _broadcast_model(model, init_states, events_dtype, CovidUK, jnp, jax):
 
 def fit_batched(model, init_states, init_events, warm, draws, seed,
                 dtype_str="float32", leapfrog=16, pair_updates=1,
-                sweeps=5, progress=None):
+                sweeps=5, occult_range="ref", progress=None):
     """Fits every chain (= dataset x arm) in one vmapped program.
 
     Mirrors the production kernel stack (driver.run_mcmc): adaptive warmup
@@ -139,9 +139,10 @@ def fit_batched(model, init_states, init_events, warm, draws, seed,
     template = CovidUK(
         model.data, jnp.asarray(init_states[0], dtype), 0, T
     )
+    t_range = (0, T) if occult_range == "full" else (T - 21, T)
     cfg = EventKernelConfig(
         dmax=84, mmax=2, nmax=25, occult_nmax=15,
-        num_event_time_updates=sweeps, t_range=(T - 21, T),
+        num_event_time_updates=sweeps, t_range=t_range,
         num_pair_updates=pair_updates,
     )
     step_warm = make_mcmc_step(template, leapfrog, cfg)
@@ -268,7 +269,8 @@ def summarize_arm(scalars, truth, burn_frac=0.0):
 
 
 def run_study(model, truth, K, warm, draws, seed, dtype_str="float32",
-              arms=("imputed", "truth"), progress=print):
+              arms=("imputed", "truth"), occult_range="ref",
+              progress=print):
     """Simulate K datasets and fit all requested arms in one program."""
     import jax
     import jax.numpy as jnp
@@ -290,14 +292,38 @@ def run_study(model, truth, K, warm, draws, seed, dtype_str="float32",
     )
 
     init_states, init_events, arm_of_chain = [], [], []
+    true_init = np.asarray(model.initial_state, np.float64)
     if "imputed" in arms:
         for k in range(K):
             ist, iev = initialize_from_cases(cases[k], N, seed=seed + k)
             init_states.append(ist)
             init_events.append(iev)
             arm_of_chain.append("imputed")
+    if "imputed_matched" in arms:
+        # The config-level mitigation: imputation lag rates matched to the
+        # model's sojourn rates (I->R rate exp(gamma0), E->I rate NU=0.28)
+        # instead of the reference's magic (0.25, 0.5).  In production the
+        # removal rate would come from a domain estimate or a pilot run.
+        matched = (float(np.exp(truth["gamma0"])), 0.28)
+        for k in range(K):
+            ist, iev = initialize_from_cases(
+                cases[k], N, seed=seed + k, impute_rates=matched
+            )
+            init_states.append(ist)
+            init_events.append(iev)
+            arm_of_chain.append("imputed_matched")
+    if "imputed_true_state" in arms:
+        # Attribution probe: imputed LATENT EVENTS but the TRUE initial
+        # state.  The initial state is conditioned-on (never sampled) in
+        # both this framework and the reference (inference.py:500-513), so
+        # if this arm is calibrated the recovery offset is specifically the
+        # imputation-derived initial state, not the imputed event history.
+        for k in range(K):
+            _, iev = initialize_from_cases(cases[k], N, seed=seed + k)
+            init_states.append(true_init)
+            init_events.append(iev)
+            arm_of_chain.append("imputed_true_state")
     if "truth" in arms:
-        true_init = np.asarray(model.initial_state, np.float64)
         for k in range(K):
             init_states.append(true_init)
             init_events.append(events_true[k])
@@ -307,7 +333,7 @@ def run_study(model, truth, K, warm, draws, seed, dtype_str="float32",
 
     fit = fit_batched(
         model, init_states, init_events, warm, draws, seed,
-        dtype_str=dtype_str, progress=progress,
+        dtype_str=dtype_str, occult_range=occult_range, progress=progress,
     )
 
     results = {"wall_s": fit["wall"], "K": K, "warm": warm, "draws": draws,
@@ -374,8 +400,15 @@ def main():
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("--dtype", default="float32")
     ap.add_argument("--arms", default="both",
-                    choices=["both", "imputed", "truth"])
+                    choices=["both", "imputed", "truth",
+                             "imputed_true_state", "imputed_matched"])
     ap.add_argument("--data", default="ni_run/inferencedata.h5")
+    ap.add_argument("--occult-range", choices=["ref", "full"], default="ref",
+                    help="occult add/delete t_range: 'ref' = last 21 days "
+                    "(the reference contract — latent totals before T-21 "
+                    "stay pinned at their initialization), 'full' = all of "
+                    "[0, T) (same invariant distribution; totals remix "
+                    "everywhere)")
     ap.add_argument("--T", type=int, default=0,
                     help="truncate to the first T days (0 = full)")
     ap.add_argument("--out", default="docs/calibration.json")
@@ -410,8 +443,9 @@ def main():
     )
     results, _ = run_study(
         model, truth, args.K, args.warm, args.draws, args.seed,
-        dtype_str=args.dtype, arms=arms,
+        dtype_str=args.dtype, arms=arms, occult_range=args.occult_range,
     )
+    results["occult_range"] = args.occult_range
     out = os.path.join(REPO, args.out)
     os.makedirs(os.path.dirname(out), exist_ok=True)
     with open(out, "w") as f:
