@@ -33,7 +33,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 REF_DATA = "/root/reference/data"
 DATE_LOW = np.datetime64("2021-01-01")
-DATE_HIGH = np.datetime64("2021-02-02")
+DATE_HIGH = np.datetime64("2021-02-02")  # overridden by --days
 
 
 def process_config(outdir):
@@ -58,7 +58,9 @@ def process_config(outdir):
     }
 
 
-def main(outdir, alpha0):
+def main(outdir, alpha0, days):
+    global DATE_HIGH
+    DATE_HIGH = DATE_LOW + np.timedelta64(int(days), "D")
     import jax
     import jax.numpy as jnp
 
@@ -163,4 +165,8 @@ if __name__ == "__main__":
     p = argparse.ArgumentParser()
     p.add_argument("--outdir", default="data/uk_example")
     p.add_argument("--alpha0", type=float, default=-1.0)
+    p.add_argument("--days", type=int, default=120,
+                   help="window length (120 matches the synthetic headline "
+                   "bench scale; the reference's own full-model windows are "
+                   "~3 months)")
     main(**vars(p.parse_args()))
