@@ -167,6 +167,10 @@ def build_real(nchains, data_file, dtype_name="float32"):
     return model, step_warm, step_sample, state
 
 
+SCALAR_NAMES = ["psi", "sigma_space", "beta_area", "gamma0", "gamma1",
+                "alpha_0"]  # flat packing order (inference.py:285-300)
+
+
 def run_benchmark(model, step_warm, step_sample, state, metric,
                   warm_draws=WARM_DRAWS):
     import jax
@@ -183,7 +187,12 @@ def run_benchmark(model, step_warm, step_sample, state, metric,
     P = state.u.shape[-1]
 
     # ---- adaptation (untimed): dual averaging + Welford mass, u-only trace
-    def warm(key, state, da, wf, inv_mass, model):
+    # Chunked at <=500 draws per device execution: the remote-tunnel
+    # backend has failed (UNAVAILABLE) on single executions much longer
+    # than the ~20 s timed segments.
+    WARM_CHUNK = 500
+
+    def warm(key, state, da, wf, inv_mass, model, chunk):
         def body(carry, k):
             state, da, wf, inv_mass = carry
             tune = HMCTunables(
@@ -198,19 +207,30 @@ def run_benchmark(model, step_warm, step_sample, state, metric,
             inv_mass = regularized_variance(wf)
             return (state, da, wf, inv_mass), None
 
-        keys = jax.random.split(key, warm_draws)
+        keys = jax.random.split(key, chunk)
         (state, da, wf, inv_mass), _ = jax.lax.scan(
             body, (state, da, wf, inv_mass), keys
         )
-        return state, dual_averaging.step_size(da), inv_mass
+        return state, da, wf, inv_mass
 
     da = jax.vmap(lambda _: dual_averaging.init(0.1, dtype))(jnp.arange(C))
     wf = jax.vmap(lambda _: welford.init((P,), dtype))(jnp.arange(C))
     inv_mass = jnp.ones((C, P), dtype)
-    warm_j = jax.jit(jax.vmap(warm, in_axes=(0, 0, 0, 0, 0, None)))
-    keys = jax.random.split(jax.random.PRNGKey(1), C)
-    state, step_size, inv_mass = warm_j(keys, state, da, wf, inv_mass, model)
-    jax.block_until_ready(state.u)
+    warm_j = jax.jit(
+        jax.vmap(warm, in_axes=(0, 0, 0, 0, 0, None, None)),
+        static_argnums=6,
+    )
+    done, wkey = 0, jax.random.PRNGKey(1)
+    while done < warm_draws:
+        chunk = min(WARM_CHUNK, warm_draws - done)
+        wkey, sub = jax.random.split(wkey)
+        keys = jax.random.split(sub, C)
+        state, da, wf, inv_mass = warm_j(
+            keys, state, da, wf, inv_mass, model, chunk
+        )
+        jax.block_until_ready(state.u)
+        done += chunk
+    step_size = jax.vmap(dual_averaging.step_size)(da)
 
     # ---- timed sampling: u-only trace (the events stay on device)
     def sample(key, state, step_size, inv_mass, model):
@@ -242,6 +262,7 @@ def run_benchmark(model, step_warm, step_sample, state, metric,
     # ---- N_SEEDS independent timed segments (multi-seed hygiene: single
     # segments carry ~±30% min-ESS noise; the headline is the mean)
     values, ratios = [], []
+    ess_by_scalar = None
     for s in range(N_SEEDS):
         t0 = time.time()
         state, us = sample_j(
@@ -262,6 +283,9 @@ def run_benchmark(model, step_warm, step_sample, state, metric,
             ]
         )
         ess_min = float(ess.min())
+        ess_by_scalar = {
+            n: round(float(e), 1) for n, e in zip(SCALAR_NAMES, ess)
+        }
         ess_per_draw = ess_min / (C * N_DRAWS)
         cpu_ess_per_sec = ess_per_draw * CPU_BASELINE_NAIVE_STEPS_PER_SEC
         values.append(ess_min / wall)
@@ -275,22 +299,29 @@ def run_benchmark(model, step_warm, step_sample, state, metric,
         "sd": round(float(np.std(values)), 2),
         "seeds": N_SEEDS,
         "runs": [round(v, 2) for v in values],
+        "ess": ess_by_scalar,  # last segment, per scalar (diagnostic)
     }
 
 
 def main():
-    result = run_benchmark(*build(NCHAINS), metric="ess_per_sec_fulluk")
-    print(json.dumps(result))
-    if "--with-real" in sys.argv:
+    if "--real-only" not in sys.argv:
+        result = run_benchmark(*build(NCHAINS), metric="ess_per_sec_fulluk")
+        print(json.dumps(result))
+    if "--with-real" in sys.argv or "--real-only" in sys.argv:
         import os
 
         data_file = os.path.join(
             os.path.dirname(os.path.abspath(__file__)),
             "data/uk_example/inferencedata.h5",
         )
+        # The shared imputation init puts real-data chains in the known
+        # ~1000-draw person-time transient (docs/calibration.md); 400 warm
+        # draws leave the pooled ESS floored at ~num_chains.  Warmup is
+        # untimed, so spend enough to measure equilibrium mixing.
         real = run_benchmark(
             *build_real(NCHAINS, data_file),
             metric="ess_per_sec_fulluk_real",
+            warm_draws=int(os.environ.get("BENCH_REAL_WARM", "2500")),
         )
         print(json.dumps(real))
 

@@ -58,6 +58,16 @@ class McmcConfig:
     # (event_kernels.compensated_pair_move_step): removes the I->R penalty
     # on large person-time strides so gamma0 decorrelates faster.
     pair_compensate_gamma0: bool = False
+    # Near-iid conditional refresh of (gamma0, gamma1) | events after each
+    # event sweep (inference/gamma_gibbs.py): a Laplace independence-MH
+    # draw from the exact 2-D conditional.  Measured NEGATIVE on gamma0
+    # ESS at UK equilibrium (23.3±1.7 vs 31.7±1.0 off; 3 seeds, warm 4000):
+    # the conditional is tight, so the refresh slaves gamma0 to the slow
+    # person-time mode while HMC's partial refresh added decorrelating
+    # jitter.  Kept as an option for far-from-equilibrium starts, where
+    # jumping (gamma0, gamma1) straight to their conditional shortens the
+    # initialization transient; off by default.
+    gamma_gibbs: bool = False
     # Joint (gamma0, E->I events) ridge move: measured neutral at NI
     # scale (the binding penalty is the E-sojourn term, not I->R);
     # kept as an option, off by default.

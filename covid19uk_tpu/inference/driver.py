@@ -146,6 +146,10 @@ def trace_to_results(traces, squeeze_chain):
             traces.comp_ei, per_location=True
         ),
         "move/S->E+E->I_pair": _move_results(traces.pair, per_location=True),
+        "gamma": {
+            "is_accepted": np.asarray(traces.gamma.is_accepted),
+            "log_accept_ratio": np.asarray(traces.gamma.log_accept_ratio),
+        },
     }
 
 
@@ -378,6 +382,10 @@ def run_mcmc(
         # framework extensions (trace_to_results writes these too)
         "move/E->I_compensated": dict(move_t),
         "move/S->E+E->I_pair": loc_move_t(event_config.pair_mmax),
+        "gamma": {
+            "is_accepted": np.zeros((1,) + chain_shape, bool),
+            "log_accept_ratio": np.zeros((1,) + chain_shape, np_dtype),
+        },
     }
     if resuming:
         # Never truncate an existing run: reopen and append past the
@@ -825,6 +833,7 @@ def mcmc(data_file, output_file, config):
         pair_mmax=config.pair_mmax,
         pair_move_decay=config.pair_move_decay,
         pair_compensate_gamma0=config.pair_compensate_gamma0,
+        gamma_gibbs=config.gamma_gibbs,
     )
 
     u0 = jnp.zeros((6 + (T - 1) + M,), dtype)  # reference inference.py:563-576
@@ -855,7 +864,9 @@ def mcmc(data_file, output_file, config):
         ("move E->I", "results/move/E->I/is_accepted"),
         ("occult S->E", "results/occult/S->E/is_accepted"),
         ("occult E->I", "results/occult/E->I/is_accepted"),
-    ]:
+    ] + (
+        [("gamma", "results/gamma/is_accepted")] if config.gamma_gibbs else []
+    ):
         print(f"Acceptance {name}: {posterior[key_][:].mean()}")
 
     posterior.close()

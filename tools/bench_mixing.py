@@ -25,7 +25,7 @@ sys.path.insert(0, ".")
 def run(scale, C, sweeps, mmax, move_decay, x_decay, n_draws, warm=300,
         leapfrog=16, seed=0, compensate=True, comp_updates=1, pair_updates=1,
         pair_mmax=1, pair_comp=False, pair_decay=1.0, occult_range="ref",
-        pair_updates_sampling=None):
+        pair_updates_sampling=None, gamma_gibbs=False):
     import jax
     import jax.numpy as jnp
 
@@ -57,6 +57,7 @@ def run(scale, C, sweeps, mmax, move_decay, x_decay, n_draws, warm=300,
         num_pair_updates=pair_updates, pair_mmax=pair_mmax,
         pair_move_decay=pair_decay,
         pair_compensate_gamma0=pair_comp,
+        gamma_gibbs=gamma_gibbs,
     )
     step = make_mcmc_step(model, leapfrog, cfg)
     if pair_updates_sampling is not None:
@@ -113,7 +114,8 @@ def run(scale, C, sweeps, mmax, move_decay, x_decay, n_draws, warm=300,
                        trace.move_se.is_accepted, trace.move_ei.is_accepted,
                        trace.occult_se.is_accepted,
                        trace.occult_ei.is_accepted,
-                       trace.comp_ei.is_accepted, trace.pair.is_accepted)
+                       trace.comp_ei.is_accepted, trace.pair.is_accepted,
+                       trace.gamma.is_accepted)
 
         keys = jax.random.split(key, n_draws)
         st, out = jax.lax.scan(body, st, keys)
@@ -144,7 +146,7 @@ def run(scale, C, sweeps, mmax, move_decay, x_decay, n_draws, warm=300,
         for i, name in enumerate(names)
     }
     acc_names = ["hmc", "move_se", "move_ei", "occ_se", "occ_ei",
-                 "comp_ei", "pair"]
+                 "comp_ei", "pair", "gamma"]
     acc = {
         name: float(np.asarray(out[1 + i]).mean())
         for i, name in enumerate(acc_names)
@@ -180,6 +182,9 @@ def main():
     ap.add_argument("--pair-updates-sampling", type=int, default=None,
                     help="pair updates in the TIMED phase (default: same "
                     "as --pair-updates)")
+    ap.add_argument("--gamma-gibbs", action="store_true",
+                    help="conditional (gamma0, gamma1) | events refresh "
+                    "after each sweep (inference/gamma_gibbs.py)")
     args = ap.parse_args()
 
     ess, acc, wall = run(
@@ -191,6 +196,7 @@ def main():
         pair_comp=args.pair_comp, seed=args.seed,
         pair_decay=args.pair_decay, occult_range=args.occult_range,
         pair_updates_sampling=args.pair_updates_sampling,
+        gamma_gibbs=args.gamma_gibbs,
     )
     min_ess = min(ess.values())
     argmin = min(ess, key=ess.get)
