@@ -68,6 +68,15 @@ class McmcConfig:
     # jumping (gamma0, gamma1) straight to their conditional shortens the
     # initialization transient; off by default.
     gamma_gibbs: bool = False
+    # Guided occult location proposal (gibbs.EventKernelConfig
+    # occult_guided): sample the occult location from fixed observed-case
+    # weights (+ uniform floor) instead of Uniform(M).  Exact — the fixed
+    # location factor cancels from the Hastings ratio; stationarity
+    # tested.  "auto" guides at M >= 64 (NI-scale uniform already accepts
+    # at 0.29-0.38; UK-scale uniform collapses to ~0.000 —
+    # tools/diag_occult.py).  "always"/"never" force.
+    occult_guided: str = "auto"
+    occult_guide_floor: float = 0.1  # uniform mixture weight (ergodicity)
     # Joint (gamma0, E->I events) ridge move: measured neutral at NI
     # scale (the binding penalty is the E-sojourn term, not I->R);
     # kept as an option, off by default.
@@ -160,6 +169,16 @@ class McmcConfig:
         if self.sparse not in ("auto", "always", "never"):
             raise ValueError(
                 f"Mcmc.sparse must be auto/always/never, got {self.sparse!r}"
+            )
+        if self.occult_guided not in ("auto", "always", "never"):
+            raise ValueError(
+                "Mcmc.occult_guided must be auto/always/never, got "
+                f"{self.occult_guided!r}"
+            )
+        if not (0.0 < self.occult_guide_floor <= 1.0):
+            raise ValueError(
+                "Mcmc.occult_guide_floor must be in (0, 1], got "
+                f"{self.occult_guide_floor!r}"
             )
         if self.dtype not in ("float32", "float64"):
             raise ValueError(

@@ -834,6 +834,10 @@ def mcmc(data_file, output_file, config):
         pair_move_decay=config.pair_move_decay,
         pair_compensate_gamma0=config.pair_compensate_gamma0,
         gamma_gibbs=config.gamma_gibbs,
+        occult_guided={"auto": "auto", "always": True, "never": False}[
+            config.occult_guided
+        ],
+        occult_guide_floor=config.occult_guide_floor,
     )
 
     u0 = jnp.zeros((6 + (T - 1) + M,), dtype)  # reference inference.py:563-576

@@ -751,6 +751,7 @@ def occult_step(
     t_range,
     nmax: int,
     x_decay: float = 1.0,
+    guide_logits=None,
     commute=None,
 ):
     """Adds or deletes unobserved ("occult") events of one transition.
@@ -764,6 +765,19 @@ def occult_step(
     ``t_range=[T-21, T)``, ``nmax=occult_nmax``
     (mcmc_kernel_factory.py:89-113, inference.py:334-341).
 
+    ``guide_logits`` (optional, ``[M]``) replaces the uniform location
+    draw with ``loc ~ Categorical(guide_logits)`` — a *guided* proposal
+    concentrating occult mass where it can actually be absorbed (the
+    uniform draw collapses to ~0 acceptance at UK scale, where <20% of
+    locations hold 90% of the window's events).  Correctness requires the
+    weights to be STATE-INDEPENDENT (fixed data, e.g. observed I->R
+    cases — which no kernel modifies): then the forward add at ``loc``
+    and its reverse delete at the SAME ``loc`` carry the identical
+    ``q(loc)`` factor, which cancels from the Hastings ratio exactly as
+    the uniform ``1/M`` does.  No other term changes.  Weights must be
+    strictly positive everywhere (mix with a uniform floor) so every
+    cell stays proposable in both directions.
+
     Returns:
       (events, state, logp, EventMoveInfo) — with a threaded ``commute``:
       (events, state, commute, logp, EventMoveInfo).
@@ -773,7 +787,10 @@ def occult_step(
     t_lo, t_hi = t_range
     k_loc, k_t, k_dir, k_x, k_acc = jax.random.split(key, 5)
 
-    loc = jax.random.randint(k_loc, (), 0, M)
+    if guide_logits is None:
+        loc = jax.random.randint(k_loc, (), 0, M)
+    else:
+        loc = jax.random.categorical(k_loc, guide_logits)
     t = jax.random.randint(k_t, (), t_lo, t_hi)
     is_add = jax.random.bernoulli(k_dir, 0.5)
 

@@ -123,6 +123,24 @@ class EventKernelConfig(NamedTuple):
     # refresh slaves gamma0 to the slow person-time mode; useful only for
     # far-from-equilibrium starts.  Off by default.
     gamma_gibbs: bool = False
+    # Guided occult location proposal (event_kernels.occult_step
+    # guide_logits): sample the occult location ~ Categorical over a FIXED
+    # data-derived weight — observed I->R cases summed over the occult
+    # window, mixed with a uniform floor — instead of Uniform(M).  The
+    # observed cases are exactly the tensor slice no kernel modifies, so
+    # the weight is state-independent and the location factor cancels from
+    # the Hastings ratio (same q(loc) forward and reverse); stationarity
+    # is exact (tested).  "auto" guides at M >= 64: at NI scale (M=11)
+    # uniform already accepts at 0.29-0.38, while at UK scale (M=380) it
+    # collapses to ~0.000 because the epidemic's window mass sits in a
+    # small fraction of locations (tools/diag_occult.py).  True/False
+    # force.
+    occult_guided: object = "auto"
+    # Mixture weight of the uniform floor in the guided occult location
+    # distribution — keeps every location proposable in both directions
+    # (ergodicity: an imputation-born occult in a zero-case location must
+    # remain deletable).
+    occult_guide_floor: float = 0.1
     # Thread the per-draw commute = Cstar @ (I/N) through the event sweep
     # (windowed deltas slice it instead of recomputing the [M,M]@[M,window]
     # product per eval; accepted E->I perturbations rank-1-update it).
@@ -156,6 +174,13 @@ def make_mcmc_step(
     M = model.data.num_locations
     if cfg.thread_commute == "auto":
         cfg = cfg._replace(thread_commute=M >= 1024)
+    if cfg.occult_guided == "auto":
+        cfg = cfg._replace(occult_guided=M >= 64)
+    if not (0.0 < cfg.occult_guide_floor <= 1.0):
+        raise ValueError(
+            "occult_guide_floor must be in (0, 1], got "
+            f"{cfg.occult_guide_floor!r}"
+        )
     move_window = min(cfg.dmax + 1, T)
     if not (0 <= cfg.t_range[0] < cfg.t_range[1] <= T):
         raise ValueError(
@@ -212,6 +237,29 @@ def make_mcmc_step(
         logp0 = hmc_info.target_log_prob  # logp(u_new, old events)
         g0_init = u_new[3]  # gamma0 (identity bijection at index 3)
 
+        if cfg.occult_guided:
+            # Fixed data-derived occult location weights: observed I->R
+            # cases over the occult window + uniform floor.  events[...,2]
+            # is never modified by any kernel (moves/occults/pairs target
+            # ids 0/1 only), so this is state-independent within AND
+            # across sweeps — the Hastings location factor cancels exactly
+            # (see occult_step's docstring).  Computed once per draw.
+            cases_w = jnp.sum(
+                state.events[:, cfg.t_range[0]:, 2], axis=1
+            )
+            total = jnp.sum(cases_w)
+            f = cfg.occult_guide_floor
+            guide_logits = jnp.log(
+                jnp.where(
+                    total > 0,
+                    (1.0 - f) * cases_w / jnp.maximum(total, 1.0),
+                    0.0,
+                )
+                + f / M
+            )
+        else:
+            guide_logits = None
+
         md_se = (
             cfg.move_decay
             if tune.move_decay_se is None
@@ -264,12 +312,12 @@ def make_mcmc_step(
             events, st, commute_live, logp, i_ose = unpack(occult_step(
                 kc, events, st, logp, occ_eval, 0,
                 cfg.t_range, cfg.occult_nmax, cfg.x_decay,
-                commute=commute_live,
+                guide_logits=guide_logits, commute=commute_live,
             ))
             events, st, commute_live, logp, i_oei = unpack(occult_step(
                 kd, events, st, logp, occ_eval, 1,
                 cfg.t_range, cfg.occult_nmax, cfg.x_decay,
-                commute=commute_live,
+                guide_logits=guide_logits, commute=commute_live,
             ))
             def make_gamma_delta(live_rate):
                 def gamma_delta(ev_new, st_new, g, g_new):

@@ -268,6 +268,71 @@ def test_occult_kernel_exact_stationarity(x_decay):
     assert tv < 0.03, (tv, freq.round(3), target.round(3))
 
 
+def test_guided_occult_kernel_exact_stationarity():
+    """Guided occult proposal (location ~ fixed Categorical, not Uniform)
+    preserves an enumerable target exactly.
+
+    The guide's location factor must cancel from the Hastings ratio
+    (forward add and reverse delete pick the SAME location, and the
+    weights are state-independent) — this test would detect a missing
+    correction: the guide is skewed 85/15 across M=2 locations whose
+    target marginals differ, so an uncorrected proposal would visibly
+    overweight location 0's high-count states.
+
+    M=2, T=4, t_range=(2,4): 4 cells, counts capped at 2 => 81 states.
+    """
+    T, cap = 4, 2.0
+    w = np.array([[0.9, -0.4], [-0.6, 0.8]])  # [loc, t-2] weights
+
+    def logp_fn(events):
+        c = events[:, 2:4, 0]  # [2, 2]
+        ok = jnp.all(c <= cap)
+        val = jnp.sum(c * w) - 0.1 * jnp.sum(c**2)
+        return jnp.where(ok, val, -jnp.inf)
+
+    states = list(itertools.product(range(int(cap) + 1), repeat=4))
+    logps = np.array(
+        [
+            float(
+                logp_fn(
+                    jnp.zeros((2, T, 3), jnp.float64)
+                    .at[:, 2:4, 0]
+                    .set(jnp.asarray(np.array(s, float).reshape(2, 2)))
+                )
+            )
+            for s in states
+        ]
+    )
+    target = np.exp(logps - logps.max())
+    target /= target.sum()
+
+    init = jnp.zeros((2, T, 3), jnp.float64)
+    ev = FullEvaluator(logp_fn=logp_fn)
+    st0 = jnp.zeros((2, T, 4), jnp.float64)
+    guide = jnp.log(jnp.asarray(np.array([0.85, 0.15])))
+
+    def body(carry, key):
+        events, st, logp = carry
+        events, st, logp, info = occult_step(
+            key, events, st, logp, ev, 0, t_range=(2, 4), nmax=2,
+            x_decay=0.8, guide_logits=guide,
+        )
+        return (events, st, logp), events[:, 2:4, 0]
+
+    n = 150000
+    keys = jax.random.split(jax.random.PRNGKey(7), n)
+    (_, _, _), trace = jax.lax.scan(body, (init, st0, logp_fn(init)), keys)
+    trace = np.asarray(trace[5000:]).astype(int).reshape(-1, 4)
+
+    counts = np.zeros(len(states))
+    idx = {s: i for i, s in enumerate(states)}
+    for row in trace:
+        counts[idx[tuple(row)]] += 1
+    freq = counts / counts.sum()
+    tv = 0.5 * np.abs(freq - target).sum()
+    assert tv < 0.04, (tv,)
+
+
 def test_occult_null_delete_not_accepted():
     """A delete proposal drawn on an empty cell is a null move and must be
     traced as NOT accepted (gemlib semantics — otherwise acceptance-rate

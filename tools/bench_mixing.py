@@ -25,7 +25,8 @@ sys.path.insert(0, ".")
 def run(scale, C, sweeps, mmax, move_decay, x_decay, n_draws, warm=300,
         leapfrog=16, seed=0, compensate=True, comp_updates=1, pair_updates=1,
         pair_mmax=1, pair_comp=False, pair_decay=1.0, occult_range="ref",
-        pair_updates_sampling=None, gamma_gibbs=False):
+        pair_updates_sampling=None, gamma_gibbs=False,
+        occult_guided="auto", data_file=None):
     import jax
     import jax.numpy as jnp
 
@@ -41,12 +42,40 @@ def run(scale, C, sweeps, mmax, move_decay, x_decay, n_draws, warm=300,
         build_synthetic_model, initial_chain_state,
     )
 
-    M, T = (11, 32) if scale == "ni" else (380, 120)
-    model = build_synthetic_model(M, T, jnp.float32)
-    single = initial_chain_state(model)
-    state = jax.tree.map(
-        lambda x: jnp.broadcast_to(x, (C,) + x.shape), single
-    )
+    if data_file is not None:
+        # Real covariates (e.g. data/uk_example/inferencedata.h5): same
+        # stack as bench.py build_real — shared production imputation
+        # init, scalar jitter for chain diversity.
+        from covid19uk_tpu.inference.driver import initialize_from_cases
+        from covid19uk_tpu.inference.gibbs import ChainState
+        from covid19uk_tpu.models.spec import CovidUK, ModelData
+        from covid19uk_tpu.utils import ncio
+
+        constant = ncio.load_group(data_file, "constant_data")
+        observations = ncio.load_group(data_file, "observations")
+        cases = np.asarray(observations["cases"], np.float64)
+        data = ModelData.create(
+            constant.variables, jnp.float32, num_chains=C, keep_C=False
+        )
+        init_state, events = initialize_from_cases(cases, data.N, seed=0)
+        M, T = events.shape[:2]
+        model = CovidUK(data, jnp.asarray(init_state, jnp.float32), 0, T)
+        u0 = jnp.zeros((6 + (T - 1) + M,), jnp.float32)
+        single = ChainState(u=u0, events=jnp.asarray(events, jnp.float32))
+        state = jax.tree.map(
+            lambda x: jnp.broadcast_to(x, (C,) + x.shape), single
+        )
+        jitter = 0.05 * jax.random.normal(
+            jax.random.PRNGKey(7), (C, 6), jnp.float32
+        )
+        state = state._replace(u=state.u.at[:, :6].add(jitter))
+    else:
+        M, T = (11, 32) if scale == "ni" else (380, 120)
+        model = build_synthetic_model(M, T, jnp.float32)
+        single = initial_chain_state(model)
+        state = jax.tree.map(
+            lambda x: jnp.broadcast_to(x, (C,) + x.shape), single
+        )
     t_range = (0, T) if occult_range == "full" else (T - 21, T)
     cfg = EventKernelConfig(
         dmax=84, mmax=mmax, nmax=25, occult_nmax=15,
@@ -58,6 +87,9 @@ def run(scale, C, sweeps, mmax, move_decay, x_decay, n_draws, warm=300,
         pair_move_decay=pair_decay,
         pair_compensate_gamma0=pair_comp,
         gamma_gibbs=gamma_gibbs,
+        occult_guided={"auto": "auto", "always": True, "never": False}[
+            occult_guided
+        ],
     )
     step = make_mcmc_step(model, leapfrog, cfg)
     if pair_updates_sampling is not None:
@@ -185,6 +217,13 @@ def main():
     ap.add_argument("--gamma-gibbs", action="store_true",
                     help="conditional (gamma0, gamma1) | events refresh "
                     "after each sweep (inference/gamma_gibbs.py)")
+    ap.add_argument("--occult-guided", choices=["auto", "always", "never"],
+                    default="auto",
+                    help="guided occult location proposal (fixed "
+                    "observed-case weights; gibbs.EventKernelConfig)")
+    ap.add_argument("--data", default=None,
+                    help="inferencedata.h5 with real covariates (overrides "
+                    "--scale's synthetic model)")
     args = ap.parse_args()
 
     ess, acc, wall = run(
@@ -197,6 +236,7 @@ def main():
         pair_decay=args.pair_decay, occult_range=args.occult_range,
         pair_updates_sampling=args.pair_updates_sampling,
         gamma_gibbs=args.gamma_gibbs,
+        occult_guided=args.occult_guided, data_file=args.data,
     )
     min_ess = min(ess.values())
     argmin = min(ess, key=ess.get)

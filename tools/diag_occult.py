@@ -67,9 +67,22 @@ def diagnose(scale, nprop, nmax=15, x_decay=0.9, seed=0):
     t_lo, t_hi = T - 21, T
     ev = WindowedEvaluator(ctx=ctx, window=T - t_lo)
 
-    def one(key, target_id):
+    # Guided location weights: same formula as gibbs.make_mcmc_step —
+    # observed I->R cases over the occult window + uniform floor.
+    floor = 0.1
+    cases_w = jnp.sum(events[:, t_lo:, 2], axis=1)
+    total = jnp.sum(cases_w)
+    guide_logits = jnp.log(
+        jnp.where(total > 0, (1 - floor) * cases_w / jnp.maximum(total, 1.0), 0.0)
+        + floor / M
+    )
+
+    def one(key, target_id, guided):
         k_loc, k_t, k_dir, k_x = jax.random.split(key, 4)
-        loc = jax.random.randint(k_loc, (), 0, M)
+        if guided:
+            loc = jax.random.categorical(k_loc, guide_logits)
+        else:
+            loc = jax.random.randint(k_loc, (), 0, M)
         t = jax.random.randint(k_t, (), t_lo, t_hi)
         is_add = jax.random.bernoulli(k_dir, 0.5)
         count = events[loc, t, target_id]
@@ -96,9 +109,14 @@ def diagnose(scale, nprop, nmax=15, x_decay=0.9, seed=0):
 
     keys = jax.random.split(jax.random.PRNGKey(seed), nprop)
     out = {}
-    for k_id, name in ((0, "S->E"), (1, "E->I")):
+    for k_id, name, guided in (
+        (0, "S->E", False),
+        (1, "E->I", False),
+        (0, "S->E guided", True),
+        (1, "E->I guided", True),
+    ):
         la, is_add, is_null = jax.jit(
-            jax.vmap(lambda k: one(k, k_id))
+            jax.vmap(lambda k: one(k, k_id, guided))
         )(keys)
         la = np.asarray(la, np.float64)
         is_add = np.asarray(is_add)
