@@ -45,13 +45,15 @@ sessions).
 """
 
 import json
+import os
 import sys
 import time
 
 import numpy as np
 
 M, T = 380, 120  # full-UK problem scale (SURVEY.md §6)
-NCHAINS = 64
+# Chain count (BENCH_CHAINS overrides; see docs/chain_scaling.md).
+NCHAINS = int(os.environ.get("BENCH_CHAINS", "64"))
 WARM_DRAWS = 400  # on-device step-size/mass adaptation (not timed)
 N_DRAWS = 1000  # timed draws per chain
 N_SEEDS = 3  # independent timed segments averaged for the headline
@@ -182,15 +184,15 @@ def run_benchmark(model, step_warm, step_sample, state, metric,
     from covid19uk_tpu.parallel.diagnostics import effective_sample_size
     from covid19uk_tpu.models.spec import constrain_parameters
 
-    C = NCHAINS
+    C = state.u.shape[0]
     dtype = state.u.dtype
     P = state.u.shape[-1]
 
     # ---- adaptation (untimed): dual averaging + Welford mass, u-only trace
-    # Chunked at <=500 draws per device execution: the remote-tunnel
-    # backend has failed (UNAVAILABLE) on single executions much longer
-    # than the ~20 s timed segments.
-    WARM_CHUNK = 500
+    # Chunked per device execution: the remote-tunnel backend has failed
+    # (UNAVAILABLE) on single executions much longer than ~20 s, and the
+    # step wall grows with C — scale the chunk down accordingly.
+    WARM_CHUNK = max(100, 500 * 64 // C)
 
     def warm(key, state, da, wf, inv_mass, model, chunk):
         def body(carry, k):
@@ -232,15 +234,20 @@ def run_benchmark(model, step_warm, step_sample, state, metric,
         done += chunk
     step_size = jax.vmap(dual_averaging.step_size)(da)
 
-    # ---- timed sampling: u-only trace (the events stay on device)
+    # ---- timed sampling: scalar-only trace (the events stay on device;
+    # the six scalars are all the ESS estimator reads, and a full [C,n,P]
+    # trace costs this host ~20 s/200 MB in fresh-allocation page faults)
+    SEG = max(250, N_DRAWS * 64 // C)  # draws per device execution
+    n_segs = max(1, N_DRAWS // SEG)
+
     def sample(key, state, step_size, inv_mass, model):
         tune = HMCTunables(step_size=step_size, inv_mass_diag=inv_mass)
 
         def body(state, k):
             state, _ = step_sample(k, state, tune, model)
-            return state, state.u
+            return state, state.u[:6]
 
-        keys = jax.random.split(key, N_DRAWS)
+        keys = jax.random.split(key, SEG)
         state, us = jax.lax.scan(body, state, keys)
         return state, us
 
@@ -260,20 +267,28 @@ def run_benchmark(model, step_warm, step_sample, state, metric,
     force(us)
 
     # ---- N_SEEDS independent timed segments (multi-seed hygiene: single
-    # segments carry ~±30% min-ESS noise; the headline is the mean)
+    # segments carry ~±30% min-ESS noise; the headline is the mean).
+    # Each segment is n_segs consecutive executions of SEG draws (the
+    # chain state carries over, so the concatenated series is one
+    # continuous chain); the wall sums the executions.
     values, ratios = [], []
     ess_by_scalar = None
     for s in range(N_SEEDS):
-        t0 = time.time()
-        state, us = sample_j(
-            jax.random.split(jax.random.PRNGKey(3 + s), C), state, step_size,
-            inv_mass, model,
-        )
-        force(us)
-        wall = time.time() - t0
+        seed_key = jax.random.PRNGKey(3 + s)
+        chunks, wall = [], 0.0
+        for g in range(n_segs):
+            seed_key, sub = jax.random.split(seed_key)
+            t0 = time.time()
+            state, us = sample_j(
+                jax.random.split(sub, C), state, step_size, inv_mass, model,
+            )
+            force(us)
+            wall += time.time() - t0
+            chunks.append(np.asarray(us))
+        us_all = np.concatenate(chunks, axis=1)  # [C, N_DRAWS, 6]
 
         # pooled multi-chain ESS of the six scalars (constrained space)
-        u_con = np.asarray(constrain_parameters(us))  # [C, n, P]
+        u_con = np.asarray(constrain_parameters(jnp.asarray(us_all)))
         ess = np.array(
             [
                 float(np.asarray(effective_sample_size(
@@ -298,8 +313,12 @@ def run_benchmark(model, step_warm, step_sample, state, metric,
         "vs_baseline": round(float(np.mean(ratios)), 2),
         "sd": round(float(np.std(values)), 2),
         "seeds": N_SEEDS,
+        "chains": C,
         "runs": [round(v, 2) for v in values],
-        "ess": ess_by_scalar,  # last segment, per scalar (diagnostic)
+        # Last segment, per scalar.  Throughput diagnostic ONLY — at the
+        # bench's short warmup these are transient-contaminated; mixing
+        # measurements need --warm >= 4000 (tools/bench_mixing.py).
+        "ess_diag_not_mixing": ess_by_scalar,
     }
 
 

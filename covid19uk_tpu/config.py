@@ -77,6 +77,13 @@ class McmcConfig:
     # tools/diag_occult.py).  "always"/"never" force.
     occult_guided: str = "auto"
     occult_guide_floor: float = 0.1  # uniform mixture weight (ergodicity)
+    # Guided MOVE/PAIR location proposal (gibbs.EventKernelConfig
+    # move_guided): sample the mmax move locations weighted-without-
+    # replacement by the same fixed observed-case weights (full [0, T)
+    # window) instead of uniform.  Exact (location factor cancels);
+    # "never" until the UK-scale mixing A/B certifies a win.
+    move_guided: str = "never"
+    move_guide_floor: float = 0.1
     # Joint (gamma0, E->I events) ridge move: measured neutral at NI
     # scale (the binding penalty is the E-sojourn term, not I->R);
     # kept as an option, off by default.
@@ -170,16 +177,18 @@ class McmcConfig:
             raise ValueError(
                 f"Mcmc.sparse must be auto/always/never, got {self.sparse!r}"
             )
-        if self.occult_guided not in ("auto", "always", "never"):
-            raise ValueError(
-                "Mcmc.occult_guided must be auto/always/never, got "
-                f"{self.occult_guided!r}"
-            )
-        if not (0.0 < self.occult_guide_floor <= 1.0):
-            raise ValueError(
-                "Mcmc.occult_guide_floor must be in (0, 1], got "
-                f"{self.occult_guide_floor!r}"
-            )
+        for name in ("occult_guided", "move_guided"):
+            if getattr(self, name) not in ("auto", "always", "never"):
+                raise ValueError(
+                    f"Mcmc.{name} must be auto/always/never, got "
+                    f"{getattr(self, name)!r}"
+                )
+        for name in ("occult_guide_floor", "move_guide_floor"):
+            if not (0.0 < getattr(self, name) <= 1.0):
+                raise ValueError(
+                    f"Mcmc.{name} must be in (0, 1], got "
+                    f"{getattr(self, name)!r}"
+                )
         if self.dtype not in ("float32", "float64"):
             raise ValueError(
                 f"Mcmc.dtype must be float32 or float64, got {self.dtype!r}"

@@ -837,6 +837,10 @@ def mcmc(data_file, output_file, config):
         occult_guided={"auto": "auto", "always": True, "never": False}[
             config.occult_guided
         ],
+        move_guided={"auto": "auto", "always": True, "never": False}[
+            config.move_guided
+        ],
+        move_guide_floor=config.move_guide_floor,
         occult_guide_floor=config.occult_guide_floor,
     )
 

@@ -47,6 +47,24 @@ class EventMoveInfo(NamedTuple):
     x_star: jnp.ndarray  # number of events moved/added/deleted
 
 
+def _sample_locations(key, M, mmax, guide_logits=None):
+    """Samples ``mmax`` distinct locations.
+
+    ``guide_logits=None``: uniform without replacement (the reference's
+    proposal).  Otherwise: weighted without replacement via Gumbel-top-k
+    (an exact Plackett–Luce draw).  Correctness requires the weights to be
+    STATE-INDEPENDENT (fixed data): the reverse move proposes the same
+    location set with the identical probability, so the location factor
+    cancels from the Hastings ratio — exactly as the uniform
+    ``1/(M·(M−1)···)`` does (neither appears in the ratio).
+    """
+    if guide_logits is None:
+        return jax.random.choice(key, M, (mmax,), replace=False)
+    g = guide_logits + jax.random.gumbel(key, (M,), guide_logits.dtype)
+    _, locs = jax.lax.top_k(g, mmax)
+    return locs
+
+
 def _uniform_nonzero_time(key, counts):
     """Samples t uniformly from {t : counts[t] > 0} via the Gumbel trick.
 
@@ -170,10 +188,14 @@ def _propose_moves(
     move_decay: float,
     x_decay: float,
     commute=None,
+    guide_logits=None,
 ):
     """Samples and applies a multi-location move proposal.
 
-    Proposal, per chosen location (locations uniform without replacement):
+    Proposal, per chosen location (locations uniform without replacement,
+    or — when ``guide_logits`` is given — weighted without replacement by
+    fixed state-independent logits; see :func:`_sample_locations` for the
+    Hastings-cancellation argument):
       t_src  ~ Uniform{t : events[loc, t, target] > 0}   (null if none)
       d      ~ truncated two-sided geometric with decay ``move_decay`` on
                {-min(dmax,t_src)..-1} u {1..min(dmax, T-1-t_src)} —
@@ -198,7 +220,7 @@ def _propose_moves(
     dtype = events.dtype
     k_loc, k_t, k_d, k_x = jax.random.split(key, 4)
 
-    locs = jax.random.choice(k_loc, M, (mmax,), replace=False)
+    locs = _sample_locations(k_loc, M, mmax, guide_logits)
     counts = events[locs, :, target_id]  # [mmax, T]
     t_src, n_nonzero = _uniform_nonzero_time(k_t, counts)  # [mmax]
     has_events = n_nonzero > 0
@@ -314,11 +336,14 @@ def event_move_step(
     move_decay: float = 0.9,
     x_decay: float = 1.0,
     commute=None,
+    guide_logits=None,
 ):
     """Moves up to ``nmax`` events of one transition in time, at ``mmax``
     locations jointly (one MH accept/reject).
 
-    Proposal and Hastings ratio: see :func:`_propose_moves`.
+    Proposal and Hastings ratio: see :func:`_propose_moves`;
+    ``guide_logits`` (fixed, state-independent) reweights the location
+    draw with no Hastings change (:func:`_sample_locations`).
 
     Returns:
       (events, state, logp, EventMoveInfo) — or, when a threaded
@@ -329,7 +354,7 @@ def event_move_step(
     k_prop, k_acc = jax.random.split(key)
     prop = _propose_moves(
         k_prop, events, state, evaluator, target_id, dmax, mmax, nmax,
-        move_decay, x_decay, commute=commute,
+        move_decay, x_decay, commute=commute, guide_logits=guide_logits,
     )
     log_alpha = prop.delta_lp + prop.hastings
 
@@ -368,6 +393,7 @@ def compensated_move_step(
     move_decay: float = 0.9,
     x_decay: float = 1.0,
     commute=None,
+    guide_logits=None,
 ):
     """Joint (gamma0, events) move: an event move plus a *deterministic*
     compensating translation of a rate intercept.
@@ -413,7 +439,7 @@ def compensated_move_step(
     phi_old = potential_fn(state)
     prop = _propose_moves(
         k_prop, events, state, evaluator, target_id, dmax, mmax, nmax,
-        move_decay, x_decay, commute=commute,
+        move_decay, x_decay, commute=commute, guide_logits=guide_logits,
     )
     phi_new = potential_fn(prop.state)
     gamma_new = gamma + phi_old - phi_new
@@ -470,6 +496,7 @@ def _propose_pairs(
     move_decay: float,
     x_decay: float,
     commute=None,
+    guide_logits=None,
 ):
     """Samples and applies an episode-translation proposal (see
     :func:`pair_move_step` for the proposal and Hastings derivation)."""
@@ -477,7 +504,7 @@ def _propose_pairs(
     dtype = events.dtype
     k_loc, k_t2, k_t1, k_d, k_x = jax.random.split(key, 5)
 
-    locs = jax.random.choice(k_loc, M, (mmax,), replace=False)
+    locs = _sample_locations(k_loc, M, mmax, guide_logits)
     counts_ei = events[locs, :, 1]  # [mmax, T]
     counts_se = events[locs, :, 0]  # [mmax, T]
     t2, n2 = _uniform_nonzero_time(k_t2, counts_ei)  # [mmax]
@@ -600,6 +627,7 @@ def pair_move_step(
     move_decay: float = 0.9,
     x_decay: float = 1.0,
     commute=None,
+    guide_logits=None,
 ):
     """Translates infection *episodes*: moves x S->E events at t1 AND x
     E->I events at t2 (same location) by the same displacement d, jointly.
@@ -643,7 +671,7 @@ def pair_move_step(
     k_prop, k_acc = jax.random.split(key)
     prop = _propose_pairs(
         k_prop, events, state, evaluator, dmax, mmax, nmax, move_decay,
-        x_decay, commute=commute,
+        x_decay, commute=commute, guide_logits=guide_logits,
     )
     log_alpha = prop.delta_lp + prop.hastings
 
@@ -679,6 +707,7 @@ def compensated_pair_move_step(
     move_decay: float = 0.9,
     x_decay: float = 1.0,
     commute=None,
+    guide_logits=None,
 ):
     """Episode translation with a *deterministic* gamma0 ridge
     compensation — the composition of :func:`pair_move_step` and
@@ -715,7 +744,7 @@ def compensated_pair_move_step(
     phi_old = potential_fn(state)
     prop = _propose_pairs(
         k_prop, events, state, evaluator, dmax, mmax, nmax, move_decay,
-        x_decay, commute=commute,
+        x_decay, commute=commute, guide_logits=guide_logits,
     )
     phi_new = potential_fn(prop.state)
     gamma_new = gamma + phi_old - phi_new

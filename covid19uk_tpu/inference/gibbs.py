@@ -141,6 +141,19 @@ class EventKernelConfig(NamedTuple):
     # (ergodicity: an imputation-born occult in a zero-case location must
     # remain deletable).
     occult_guide_floor: float = 0.1
+    # Guided MOVE/PAIR location proposal (event_kernels._sample_locations):
+    # sample the mmax locations ~ weighted-without-replacement over the
+    # SAME fixed observed-case weights (full [0, T) window), instead of
+    # uniform-without-replacement.  State-independent, so the location
+    # factor cancels from the Hastings ratio (stationarity tested).
+    # "auto" guides at M >= 64, same gate as occults: at UK scale the
+    # event mass is concentrated in few locations and uniform draws waste
+    # most proposals on near-empty rows.  True/False force.  Default OFF
+    # until the UK-scale mixing A/B lands (round-5 discipline: no
+    # unmeasured default flips).
+    move_guided: object = "never"
+    # Uniform-floor mixture weight for the guided move location weights.
+    move_guide_floor: float = 0.1
     # Thread the per-draw commute = Cstar @ (I/N) through the event sweep
     # (windowed deltas slice it instead of recomputing the [M,M]@[M,window]
     # product per eval; accepted E->I perturbations rank-1-update it).
@@ -149,6 +162,31 @@ class EventKernelConfig(NamedTuple):
     # M=380/C=16 (the product is tiny; the [C,M,T] carry extension and the
     # rank-1 full-T updates cost more than they save).  True/False force.
     thread_commute: object = "auto"
+
+
+def case_guide_logits(events, t_range, floor):
+    """Fixed data-derived location weights (log scale) for guided proposals.
+
+    Observed I->R cases summed over ``[t_range[0], t_range[1])`` (the
+    occult proposal window for occults; all of ``[0, T)`` for moves),
+    mixed with a uniform floor so every location stays proposable in both
+    directions.  ``events[..., 2]`` is never modified by any kernel
+    (moves/occults/pairs target ids 0/1 only), so the weights are
+    state-independent and the Hastings location factor cancels exactly
+    (see ``occult_step``'s and ``_sample_locations``'s docstrings).
+
+    Single source of truth for the production formula — the Gibbs driver
+    and the diagnostics (``tools/diag_occult.py``) both call this.
+    """
+    M = events.shape[0]
+    cases_w = jnp.sum(events[:, t_range[0]:t_range[1], 2], axis=1)
+    total = jnp.sum(cases_w)
+    return jnp.log(
+        jnp.where(
+            total > 0, (1.0 - floor) * cases_w / jnp.maximum(total, 1.0), 0.0
+        )
+        + floor / M
+    )
 
 
 def make_mcmc_step(
@@ -174,13 +212,27 @@ def make_mcmc_step(
     M = model.data.num_locations
     if cfg.thread_commute == "auto":
         cfg = cfg._replace(thread_commute=M >= 1024)
-    if cfg.occult_guided == "auto":
-        cfg = cfg._replace(occult_guided=M >= 64)
-    if not (0.0 < cfg.occult_guide_floor <= 1.0):
-        raise ValueError(
-            "occult_guide_floor must be in (0, 1], got "
-            f"{cfg.occult_guide_floor!r}"
-        )
+    # Resolve the occult_guided vocabulary to a bool and REJECT anything
+    # else: a stray truthy string (e.g. "never" passed straight to the
+    # NamedTuple instead of through the driver/CLI mapping) must not
+    # silently enable guiding.
+    for field in ("occult_guided", "move_guided"):
+        val = getattr(cfg, field)
+        if val == "auto":
+            cfg = cfg._replace(**{field: M >= 64})
+        elif val == "always":
+            cfg = cfg._replace(**{field: True})
+        elif val == "never":
+            cfg = cfg._replace(**{field: False})
+        if not isinstance(getattr(cfg, field), bool):
+            raise ValueError(
+                f"{field} must be a bool or one of 'auto'/'always'/'never',"
+                f" got {getattr(event_config, field)!r}"
+            )
+    for field in ("occult_guide_floor", "move_guide_floor"):
+        val = getattr(cfg, field)
+        if not (0.0 < val <= 1.0):
+            raise ValueError(f"{field} must be in (0, 1], got {val!r}")
     move_window = min(cfg.dmax + 1, T)
     if not (0 <= cfg.t_range[0] < cfg.t_range[1] <= T):
         raise ValueError(
@@ -238,27 +290,19 @@ def make_mcmc_step(
         g0_init = u_new[3]  # gamma0 (identity bijection at index 3)
 
         if cfg.occult_guided:
-            # Fixed data-derived occult location weights: observed I->R
-            # cases over the occult window + uniform floor.  events[...,2]
-            # is never modified by any kernel (moves/occults/pairs target
-            # ids 0/1 only), so this is state-independent within AND
-            # across sweeps — the Hastings location factor cancels exactly
-            # (see occult_step's docstring).  Computed once per draw.
-            cases_w = jnp.sum(
-                state.events[:, cfg.t_range[0]:, 2], axis=1
-            )
-            total = jnp.sum(cases_w)
-            f = cfg.occult_guide_floor
-            guide_logits = jnp.log(
-                jnp.where(
-                    total > 0,
-                    (1.0 - f) * cases_w / jnp.maximum(total, 1.0),
-                    0.0,
-                )
-                + f / M
+            # Computed once per draw; see case_guide_logits for the
+            # state-independence / Hastings-cancellation argument.
+            guide_logits = case_guide_logits(
+                state.events, cfg.t_range, cfg.occult_guide_floor
             )
         else:
             guide_logits = None
+        if cfg.move_guided:
+            move_guide = case_guide_logits(
+                state.events, (0, T), cfg.move_guide_floor
+            )
+        else:
+            move_guide = None
 
         md_se = (
             cfg.move_decay
@@ -302,12 +346,12 @@ def make_mcmc_step(
             events, st, commute_live, logp, i_mse = unpack(event_move_step(
                 ka, events, st, logp, move_eval, 0,
                 cfg.dmax, cfg.mmax, cfg.nmax, md_se, cfg.x_decay,
-                commute=commute_live,
+                commute=commute_live, guide_logits=move_guide,
             ))
             events, st, commute_live, logp, i_mei = unpack(event_move_step(
                 kb, events, st, logp, move_eval, 1,
                 cfg.dmax, cfg.mmax, cfg.nmax, md_ei, cfg.x_decay,
-                commute=commute_live,
+                commute=commute_live, guide_logits=move_guide,
             ))
             events, st, commute_live, logp, i_ose = unpack(occult_step(
                 kc, events, st, logp, occ_eval, 0,
@@ -349,7 +393,7 @@ def make_mcmc_step(
                         make_gamma_delta(live_rate),
                         cfg.dmax, cfg.pair_mmax, cfg.nmax,
                         cfg.pair_move_decay, cfg.x_decay,
-                        commute=commute_live,
+                        commute=commute_live, guide_logits=move_guide,
                     )
                     if cfg.thread_commute:
                         events, st, commute_live, logp, g0, i_pair = res
@@ -363,7 +407,7 @@ def make_mcmc_step(
                             kp, events, st, logp, move_eval,
                             cfg.dmax, cfg.pair_mmax, cfg.nmax,
                             cfg.pair_move_decay, cfg.x_decay,
-                            commute=commute_live,
+                            commute=commute_live, guide_logits=move_guide,
                         )
                     )
             else:
@@ -391,6 +435,7 @@ def make_mcmc_step(
                         make_gamma_delta(live_rate), 1,
                         cfg.dmax, cfg.mmax, cfg.nmax, cfg.move_decay,
                         cfg.x_decay, commute=commute_live,
+                        guide_logits=move_guide,
                     )
                     if cfg.thread_commute:
                         events, st, commute_live, logp, g0, i_cmp = res

@@ -333,6 +333,103 @@ def test_guided_occult_kernel_exact_stationarity():
     assert tv < 0.04, (tv,)
 
 
+def test_guided_move_kernel_exact_stationarity():
+    """Guided MOVE proposal (locations ~ fixed weighted-without-replacement
+    Gumbel-top-k, not uniform) preserves an enumerable target exactly.
+
+    Like the guided occult test: the location weights are state-independent
+    so the location factor cancels from the Hastings ratio (forward and
+    reverse moves use the same location set with identical probability).
+    A skewed 85/15 guide over M=2 locations whose target time-profiles
+    differ would visibly distort the occupancy if a correction were
+    (wrongly) required or (wrongly) omitted.
+
+    M=2, T=4, per-location totals fixed by the move kernel (2 and 1
+    events of type 0) => 10 x 4 = 40 states.
+    """
+    T = 4
+    w = np.array([[0.2, 1.0, -0.5, 0.7], [0.9, -0.6, 0.3, -0.2]])
+
+    def logp_fn(events):
+        c = events[:, :, 0]  # [2, T]
+        return jnp.sum(c * w) - 0.1 * jnp.sum(c**2)
+
+    states = [
+        (a, b)
+        for a in _enumerate_compositions(2, T)
+        for b in _enumerate_compositions(1, T)
+    ]
+    logps = np.array(
+        [
+            float(
+                logp_fn(
+                    jnp.zeros((2, T, 3), jnp.float64)
+                    .at[:, :, 0]
+                    .set(jnp.asarray(np.array(s, float)))
+                )
+            )
+            for s in states
+        ]
+    )
+    target = np.exp(logps - logps.max())
+    target /= target.sum()
+
+    init = (
+        jnp.zeros((2, T, 3), jnp.float64)
+        .at[0, 0, 0].set(2.0)
+        .at[1, 0, 0].set(1.0)
+    )
+    ev = FullEvaluator(logp_fn=logp_fn)
+    st0 = jnp.zeros((2, T, 4), jnp.float64)
+    guide = jnp.log(jnp.asarray(np.array([0.85, 0.15])))
+
+    def body(carry, key):
+        events, st, logp = carry
+        events, st, logp, info = event_move_step(
+            key, events, st, logp, ev, 0, dmax=3, mmax=1, nmax=2,
+            move_decay=0.9, x_decay=0.8, guide_logits=guide,
+        )
+        return (events, st, logp), events[:, :, 0]
+
+    n = 150000
+    keys = jax.random.split(jax.random.PRNGKey(13), n)
+    (_, _, _), trace = jax.lax.scan(body, (init, st0, logp_fn(init)), keys)
+    trace = np.asarray(trace[5000:]).astype(int)
+
+    counts = np.zeros(len(states))
+    idx = {s: i for i, s in enumerate(states)}
+    for row in trace:
+        counts[idx[(tuple(row[0]), tuple(row[1]))]] += 1
+    freq = counts / counts.sum()
+    tv = 0.5 * np.abs(freq - target).sum()
+    assert tv < 0.04, (tv,)
+
+
+def test_make_mcmc_step_rejects_bad_guided_vocab():
+    """Guided-proposal knobs must reject stray strings: a truthy string
+    like "never" passed straight to EventKernelConfig (bypassing the
+    driver's CLI mapping) must raise, not silently ENABLE guiding."""
+    from covid19uk_tpu.inference.gibbs import EventKernelConfig, make_mcmc_step
+    from covid19uk_tpu.utils.synthetic import build_synthetic_model
+
+    model = build_synthetic_model(3, 8, jnp.float64)
+    for field in ("occult_guided", "move_guided"):
+        with pytest.raises(ValueError, match=field):
+            make_mcmc_step(
+                model, 2, EventKernelConfig(**{field: "nevr"})
+            )
+    for field in ("occult_guide_floor", "move_guide_floor"):
+        with pytest.raises(ValueError, match=field):
+            make_mcmc_step(
+                model, 2, EventKernelConfig(**{field: 0.0})
+            )
+    # the full vocabulary resolves without error
+    for val in ("auto", "always", "never", True, False):
+        make_mcmc_step(
+            model, 2, EventKernelConfig(move_guided=val, t_range=(0, 8))
+        )
+
+
 def test_occult_null_delete_not_accepted():
     """A delete proposal drawn on an empty cell is a null move and must be
     traced as NOT accepted (gemlib semantics — otherwise acceptance-rate

@@ -26,7 +26,7 @@ def run(scale, C, sweeps, mmax, move_decay, x_decay, n_draws, warm=300,
         leapfrog=16, seed=0, compensate=True, comp_updates=1, pair_updates=1,
         pair_mmax=1, pair_comp=False, pair_decay=1.0, occult_range="ref",
         pair_updates_sampling=None, gamma_gibbs=False,
-        occult_guided="auto", data_file=None):
+        occult_guided="auto", move_guided="never", data_file=None):
     import jax
     import jax.numpy as jnp
 
@@ -89,6 +89,9 @@ def run(scale, C, sweeps, mmax, move_decay, x_decay, n_draws, warm=300,
         gamma_gibbs=gamma_gibbs,
         occult_guided={"auto": "auto", "always": True, "never": False}[
             occult_guided
+        ],
+        move_guided={"auto": "auto", "always": True, "never": False}[
+            move_guided
         ],
     )
     step = make_mcmc_step(model, leapfrog, cfg)
@@ -221,6 +224,11 @@ def main():
                     default="auto",
                     help="guided occult location proposal (fixed "
                     "observed-case weights; gibbs.EventKernelConfig)")
+    ap.add_argument("--move-guided", choices=["auto", "always", "never"],
+                    default="never",
+                    help="guided MOVE/PAIR location proposal (fixed "
+                    "observed-case weights over all of [0, T); "
+                    "gibbs.EventKernelConfig.move_guided)")
     ap.add_argument("--data", default=None,
                     help="inferencedata.h5 with real covariates (overrides "
                     "--scale's synthetic model)")
@@ -236,7 +244,8 @@ def main():
         pair_decay=args.pair_decay, occult_range=args.occult_range,
         pair_updates_sampling=args.pair_updates_sampling,
         gamma_gibbs=args.gamma_gibbs,
-        occult_guided=args.occult_guided, data_file=args.data,
+        occult_guided=args.occult_guided, move_guided=args.move_guided,
+        data_file=args.data,
     )
     min_ess = min(ess.values())
     argmin = min(ess, key=ess.get)

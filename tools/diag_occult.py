@@ -35,7 +35,7 @@ import numpy as np
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
-def diagnose(scale, nprop, nmax=15, x_decay=0.9, seed=0):
+def diagnose(scale, nprop, nmax=15, x_decay=0.9, seed=0, data_file=None):
     import jax
     import jax.numpy as jnp
 
@@ -43,6 +43,7 @@ def diagnose(scale, nprop, nmax=15, x_decay=0.9, seed=0):
         _log_mass_geometric,
         _sample_truncated_geometric,
     )
+    from covid19uk_tpu.inference.gibbs import case_guide_logits
     from covid19uk_tpu.inference.likelihood import (
         WindowedEvaluator,
         make_context,
@@ -57,9 +58,33 @@ def diagnose(scale, nprop, nmax=15, x_decay=0.9, seed=0):
         initial_chain_state,
     )
 
-    M, T = (11, 32) if scale == "ni" else (380, 120)
-    model = build_synthetic_model(M, T, jnp.float32)
-    st0 = initial_chain_state(model)
+    if data_file is not None:
+        # Real covariates + production imputation init (bench.py
+        # build_real's stack) — the venue where occult acceptance actually
+        # matters: the synthetic UK has ZERO events in the occult window
+        # (memory/synthetic-uk-burnout.md).
+        from covid19uk_tpu.inference.driver import initialize_from_cases
+        from covid19uk_tpu.inference.gibbs import ChainState
+        from covid19uk_tpu.models.spec import CovidUK, ModelData
+        from covid19uk_tpu.utils import ncio
+
+        constant = ncio.load_group(data_file, "constant_data")
+        observations = ncio.load_group(data_file, "observations")
+        cases = np.asarray(observations["cases"], np.float64)
+        data = ModelData.create(
+            constant.variables, jnp.float32, num_chains=1, keep_C=False
+        )
+        init_state, events_np = initialize_from_cases(cases, data.N, seed=0)
+        M, T = events_np.shape[:2]
+        model = CovidUK(data, jnp.asarray(init_state, jnp.float32), 0, T)
+        st0 = ChainState(
+            u=jnp.zeros((6 + (T - 1) + M,), jnp.float32),
+            events=jnp.asarray(events_np, jnp.float32),
+        )
+    else:
+        M, T = (11, 32) if scale == "ni" else (380, 120)
+        model = build_synthetic_model(M, T, jnp.float32)
+        st0 = initial_chain_state(model)
     events = st0.events
     state = seir.compute_state(model.initial_state, events)
     params = unpack_parameters(constrain_parameters(st0.u), T, M)
@@ -67,15 +92,9 @@ def diagnose(scale, nprop, nmax=15, x_decay=0.9, seed=0):
     t_lo, t_hi = T - 21, T
     ev = WindowedEvaluator(ctx=ctx, window=T - t_lo)
 
-    # Guided location weights: same formula as gibbs.make_mcmc_step —
-    # observed I->R cases over the occult window + uniform floor.
-    floor = 0.1
-    cases_w = jnp.sum(events[:, t_lo:, 2], axis=1)
-    total = jnp.sum(cases_w)
-    guide_logits = jnp.log(
-        jnp.where(total > 0, (1 - floor) * cases_w / jnp.maximum(total, 1.0), 0.0)
-        + floor / M
-    )
+    # Guided location weights: the production formula itself
+    # (gibbs.case_guide_logits — shared, not duplicated).
+    guide_logits = case_guide_logits(events, (t_lo, t_hi), 0.1)
 
     def one(key, target_id, guided):
         k_loc, k_t, k_dir, k_x = jax.random.split(key, 4)
@@ -148,9 +167,18 @@ def main():
     ap.add_argument("--nprop", type=int, default=8192)
     ap.add_argument("--nmax", type=int, default=15)
     ap.add_argument("--x-decay", type=float, default=0.9)
+    ap.add_argument("--data", default=None,
+                    help="inferencedata.h5 with real covariates (replaces "
+                    "both synthetic scales)")
     args = ap.parse_args()
     import json
 
+    if args.data is not None:
+        res = diagnose("real", args.nprop, args.nmax, args.x_decay,
+                       data_file=args.data)
+        for name, d in res.items():
+            print(json.dumps({"scale": "real", "target": name, **d}))
+        return
     for scale in ("ni", "uk"):
         res = diagnose(scale, args.nprop, args.nmax, args.x_decay)
         for name, d in res.items():
