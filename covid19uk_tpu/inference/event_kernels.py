@@ -162,10 +162,12 @@ def _log_mass_geometric(cap, decay):
 
 class _MoveProposal(NamedTuple):
     """Internals of one multi-location event-move proposal, shared by the
-    plain and the gamma0-compensated move kernels."""
+    plain and the gamma0-compensated move kernels.  The proposal is NOT
+    applied: the delta and Hastings ratio are both computed from the
+    pre-move tensors (reverse-side counts from local [mmax, T] row
+    updates), so the caller scatters into the big tensors exactly once —
+    after the accept decision, with the rejected-x masked to zero."""
 
-    events: jnp.ndarray  # proposed event tensor (moves applied)
-    state: jnp.ndarray  # proposed state tensor (consistent)
     delta_lp: jnp.ndarray  # likelihood delta at fixed parameters
     hastings: jnp.ndarray  # log q(reverse)/q(forward)
     locs: jnp.ndarray  # [mmax]
@@ -173,7 +175,6 @@ class _MoveProposal(NamedTuple):
     t_dst: jnp.ndarray  # [mmax] clipped destination times
     d: jnp.ndarray  # [mmax] displacements
     x_eff: jnp.ndarray  # [mmax] events moved (0 for null locations)
-    commute: jnp.ndarray = None  # threaded Cstar @ (I/N), when provided
 
 
 def _propose_moves(
@@ -251,27 +252,26 @@ def _propose_moves(
         ) + (1.0 - move_decay_ ** right_r.astype(jnp.float32))
     log_mass_rev = jnp.log(jnp.maximum(mass_rev, 1e-30))
 
-    # Joint evaluation: all mmax locations' deltas in ONE windowed eval
-    # (rows are disjoint; E->I moves couple rows through the infection
-    # rate, which the evaluator handles as a rank-mmax commute update) and
-    # ONE batched scatter — instead of mmax serial eval+apply rounds,
-    # which made the event sweep launch-bound at UK scale.  The delta is
-    # evaluated from the pre-move tensors, so the update sees its operand
-    # dead and XLA performs it in place.
+    # Joint evaluation: all mmax locations' deltas in ONE eval (rows are
+    # disjoint; E->I moves couple rows through the infection rate, which
+    # the evaluator handles jointly) — instead of mmax serial eval+apply
+    # rounds, which made the event sweep launch-bound at UK scale.
+    # Everything is computed from the PRE-move tensors: the reverse-side
+    # counts come from local row updates of the already-gathered
+    # [mmax, T] counts (distinct rows, so the update is exact), not from
+    # scattering into the big tensors — the caller applies once, after
+    # the accept decision.
     delta_total = evaluator.joint_move_delta(
         events, state, locs, t_src, t_dst_safe, x_eff, target_id,
         commute=commute,
     )
-    ev_cur, st_cur = apply_event_deltas(
-        events, state, locs, t_src, t_dst_safe, x_eff, target_id
-    )
-    for i in range(mmax):
-        commute = evaluator.apply_commute(
-            commute, locs[i], t_src[i], t_dst_safe[i], x_eff[i], target_id
-        )
 
     # Hastings correction (only for active locations; null moves cancel).
-    counts_new = ev_cur[locs, :, target_id]
+    ts = jnp.arange(T)
+    counts_new = counts + x_eff[:, None] * (
+        (ts[None, :] == t_dst_safe[:, None]).astype(dtype)
+        - (ts[None, :] == t_src[:, None]).astype(dtype)
+    )
     n_nonzero_new = jnp.sum(counts_new > 0, axis=-1)
     count_dst_new = counts_new[jnp.arange(mmax), t_dst_safe]
     cap_rev = jnp.minimum(jnp.asarray(nmax, dtype), count_dst_new)
@@ -287,8 +287,6 @@ def _propose_moves(
     )
     hastings = jnp.sum(jnp.where(active, log_q_rev - log_q_fwd, 0.0))
     return _MoveProposal(
-        events=ev_cur,
-        state=st_cur,
         delta_lp=delta_total,
         hastings=hastings,
         locs=locs,
@@ -296,29 +294,24 @@ def _propose_moves(
         t_dst=t_dst_safe,
         d=d,
         x_eff=x_eff,
-        commute=commute,
     )
 
 
-def _revert_if_rejected(prop: _MoveProposal, accepted, target_id, evaluator):
-    """Applies the inverse moves when rejected.
-
-    A full-tensor ``where(accepted, new, old)`` would copy the [M,T,X]
-    events and [M,T,S] state every proposal (the dominant HBM traffic at
-    scale); applying the inverse move with x=0-if-accepted touches only the
-    same few cells/rows.  A threaded commute reverts the same way (its
-    update is linear in x).
-    """
-    x_revert = jnp.where(accepted, 0.0, prop.x_eff)
+def _apply_moves(prop: _MoveProposal, x, events, state, commute, target_id,
+                 evaluator):
+    """Applies the proposal's moves with event count ``x`` per location
+    (callers pass ``x_eff`` masked to zero on rejection — ONE scatter
+    round per MH step; a full-tensor ``where(accepted, new, old)`` would
+    copy the [M,T,X] events and [M,T,S] state every proposal, the
+    dominant HBM traffic at scale).  A threaded commute updates the same
+    way (its update is linear in x)."""
     ev, st = apply_event_deltas(
-        prop.events, prop.state, prop.locs, prop.t_dst, prop.t_src,
-        x_revert, target_id,
+        events, state, prop.locs, prop.t_src, prop.t_dst, x, target_id
     )
-    commute = prop.commute
     for i in range(prop.locs.shape[0]):
         commute = evaluator.apply_commute(
-            commute, prop.locs[i], prop.t_dst[i], prop.t_src[i],
-            x_revert[i], target_id,
+            commute, prop.locs[i], prop.t_src[i], prop.t_dst[i], x[i],
+            target_id,
         )
     return ev, st, commute
 
@@ -360,8 +353,9 @@ def event_move_step(
 
     u = jax.random.uniform(k_acc, (), dtype)
     accepted = jnp.log(u) < log_alpha
-    ev_cur, st_cur, commute = _revert_if_rejected(
-        prop, accepted, target_id, evaluator
+    x_apply = jnp.where(accepted, prop.x_eff, 0.0)
+    ev_cur, st_cur, commute = _apply_moves(
+        prop, x_apply, events, state, commute, target_id, evaluator
     )
     logp_out = current_logp + jnp.where(accepted, prop.delta_lp, 0.0)
     info = EventMoveInfo(
@@ -441,17 +435,38 @@ def compensated_move_step(
         k_prop, events, state, evaluator, target_id, dmax, mmax, nmax,
         move_decay, x_decay, commute=commute, guide_logits=guide_logits,
     )
-    phi_new = potential_fn(prop.state)
+    # This kernel needs the PROPOSED tensors before the accept decision
+    # (potential_fn/gamma_delta_fn evaluate at the proposed state), so it
+    # keeps the apply-then-revert shape the plain kernels dropped.
+    ev_new, st_new = apply_event_deltas(
+        events, state, prop.locs, prop.t_src, prop.t_dst, prop.x_eff,
+        target_id,
+    )
+    cm_new = commute
+    for i in range(mmax):
+        cm_new = evaluator.apply_commute(
+            cm_new, prop.locs[i], prop.t_src[i], prop.t_dst[i],
+            prop.x_eff[i], target_id,
+        )
+    phi_new = potential_fn(st_new)
     gamma_new = gamma + phi_old - phi_new
-    delta_gamma = gamma_delta_fn(prop.events, prop.state, gamma, gamma_new)
+    delta_gamma = gamma_delta_fn(ev_new, st_new, gamma, gamma_new)
     delta_total = prop.delta_lp + delta_gamma
     log_alpha = delta_total + prop.hastings
 
     u = jax.random.uniform(k_acc, (), dtype)
     accepted = jnp.log(u) < log_alpha
-    ev_cur, st_cur, commute = _revert_if_rejected(
-        prop, accepted, target_id, evaluator
+    x_revert = jnp.where(accepted, 0.0, prop.x_eff)
+    ev_cur, st_cur = apply_event_deltas(
+        ev_new, st_new, prop.locs, prop.t_dst, prop.t_src, x_revert,
+        target_id,
     )
+    commute = cm_new
+    for i in range(mmax):
+        commute = evaluator.apply_commute(
+            commute, prop.locs[i], prop.t_dst[i], prop.t_src[i],
+            x_revert[i], target_id,
+        )
     gamma_out = jnp.where(accepted, gamma_new, gamma)
     logp_out = current_logp + jnp.where(accepted, delta_total, 0.0)
     info = EventMoveInfo(
@@ -838,12 +853,6 @@ def occult_step(
     delta_lp = evaluator.occult_delta(
         events, state, loc, t, delta_x, target_id, commute=commute
     )
-    ev_new, st_new = apply_event_delta(
-        events, state, loc, t, t, delta_x, target_id, occult=True
-    )
-    commute = evaluator.apply_commute(
-        commute, loc, t, t, delta_x, target_id, occult=True
-    )
 
     # Hastings: forward-add has q_x = 1/nmax, reverse-delete has
     # q_x = 1/min(nmax, count + x); vice versa for forward-delete.
@@ -866,13 +875,15 @@ def occult_step(
     log_alpha = delta_lp + hastings
     u = jax.random.uniform(k_acc, (), dtype)
     accepted = ~is_null & (jnp.log(u) < log_alpha)
-    # Revert-if-rejected (see event_move_step): avoid full-tensor selects.
-    revert_x = jnp.where(accepted, 0.0, -delta_x)
+    # Single-apply: the delta and Hastings ratio are computed from the
+    # pre-update tensors, so the one scatter happens after the accept
+    # decision with the rejected-x masked to zero (no revert round).
+    x_apply = jnp.where(accepted, delta_x, 0.0)
     events_out, state_out = apply_event_delta(
-        ev_new, st_new, loc, t, t, revert_x, target_id, occult=True
+        events, state, loc, t, t, x_apply, target_id, occult=True
     )
     commute = evaluator.apply_commute(
-        commute, loc, t, t, revert_x, target_id, occult=True
+        commute, loc, t, t, x_apply, target_id, occult=True
     )
     logp_out = current_logp + jnp.where(accepted, delta_lp, 0.0)
     info = EventMoveInfo(

@@ -319,6 +319,25 @@ class WindowedEvaluator(NamedTuple):
             return jnp.sum(jax.vmap(f)(locs, t_from, t_to, xs))
 
         L = locs.shape[0]
+        if L * W >= T:
+            # Full-T evaluation of the all-location rate-only term: when
+            # the L windows jointly cover at least all of [0, T) (at UK
+            # scale L=2, W=dmax+1=85, T=120), slicing LOSES — L*[M,W]
+            # reads exceed one [M,T] read, and the dynamic slices +
+            # count-once dedup mask add ~10 serial launches.  Exact:
+            # every cell whose rate did not change contributes a bitwise
+            # -zero difference (r_new is computed from identical inputs).
+            delta = self._joint_rate_delta_full(
+                events, state, locs, t_from, t_to, xs, commute
+            )
+            delta += jnp.sum(
+                jax.vmap(
+                    lambda loc, si, t_f, t_d, x: self._row_term_ei(
+                        events, state, loc, si, t_f, t_d, x
+                    )
+                )(locs, s, t_from, t_to, xs)
+            )
+            return delta
         p = s[:, None] + jnp.arange(W)[None, :]  # [i=L, W] window columns
 
         # --- all-location rate-only cells over the L windows -------------
@@ -377,35 +396,81 @@ class WindowedEvaluator(NamedTuple):
         delta = jnp.sum(cells * (~dup).astype(dtype)[:, None, :])
 
         # --- per-row E->I / I->R terms (disjoint rows) --------------------
-        stoich_k = jnp.asarray(_STOICH[1], dtype)
-
-        def row_term(loc, si, t_f, t_d, x):
-            row_old = jax.lax.dynamic_slice(
-                state[loc], (si, 0), (W, state.shape[-1])
-            )
-            evrow_old = jax.lax.dynamic_slice(
-                events[loc], (si, 0), (W, events.shape[-1])
-            )
-            pp = si + jnp.arange(W)
-            w_pp = (pp > t_d).astype(dtype) - (pp > t_f).astype(dtype)
-            row_new = row_old + x * w_pp[:, None] * stoich_k[None, :]
-            ev_d = jnp.where(pp == t_d, x, 0.0) - jnp.where(pp == t_f, x, 0.0)
-            evrow_new = evrow_old.at[:, 1].add(ev_d)
-            rate_ir = jax.lax.dynamic_slice_in_dim(ctx.rate_ir_t, si, W)
-            lp_old = binomial_log_pmf_from_rate(
-                row_old[:, 1], evrow_old[:, 1], ctx.nu
-            ) + binomial_log_pmf_from_rate(
-                row_old[:, 2], evrow_old[:, 2], rate_ir
-            )
-            lp_new = binomial_log_pmf_from_rate(
-                row_new[:, 1], evrow_new[:, 1], ctx.nu
-            ) + binomial_log_pmf_from_rate(
-                row_new[:, 2], evrow_new[:, 2], rate_ir
-            )
-            return jnp.sum(lp_new - lp_old)
-
-        delta += jnp.sum(jax.vmap(row_term)(locs, s, t_from, t_to, xs))
+        delta += jnp.sum(
+            jax.vmap(
+                lambda loc, si, t_f, t_d, x: self._row_term_ei(
+                    events, state, loc, si, t_f, t_d, x
+                )
+            )(locs, s, t_from, t_to, xs)
+        )
         return delta
+
+    def _row_term_ei(self, events, state, loc, si, t_f, t_d, x):
+        """One moved row's E->I (n_E, ev1) and I->R (n_I) window terms."""
+        ctx = self.ctx
+        W = self.window
+        dtype = events.dtype
+        stoich_k = jnp.asarray(_STOICH[1], dtype)
+        row_old = jax.lax.dynamic_slice(
+            state[loc], (si, 0), (W, state.shape[-1])
+        )
+        evrow_old = jax.lax.dynamic_slice(
+            events[loc], (si, 0), (W, events.shape[-1])
+        )
+        pp = si + jnp.arange(W)
+        w_pp = (pp > t_d).astype(dtype) - (pp > t_f).astype(dtype)
+        row_new = row_old + x * w_pp[:, None] * stoich_k[None, :]
+        ev_d = jnp.where(pp == t_d, x, 0.0) - jnp.where(pp == t_f, x, 0.0)
+        evrow_new = evrow_old.at[:, 1].add(ev_d)
+        rate_ir = jax.lax.dynamic_slice_in_dim(ctx.rate_ir_t, si, W)
+        lp_old = binomial_log_pmf_from_rate(
+            row_old[:, 1], evrow_old[:, 1], ctx.nu
+        ) + binomial_log_pmf_from_rate(
+            row_old[:, 2], evrow_old[:, 2], rate_ir
+        )
+        lp_new = binomial_log_pmf_from_rate(
+            row_new[:, 1], evrow_new[:, 1], ctx.nu
+        ) + binomial_log_pmf_from_rate(
+            row_new[:, 2], evrow_new[:, 2], rate_ir
+        )
+        return jnp.sum(lp_new - lp_old)
+
+    def _joint_rate_delta_full(
+        self, events, state, locs, t_from, t_to, xs, commute
+    ):
+        """All-location S->E rate-only delta of L joint E->I moves,
+        evaluated over the FULL time axis (no windows, no dedup mask)."""
+        M, T = events.shape[0], events.shape[-2]
+        dtype = events.dtype
+        ctx = self.ctx
+        ts = jnp.arange(T)
+        # [L, T] per-move I-change indicators (open-closed intervals)
+        w_full = (ts[None, :] > t_to[:, None]).astype(dtype) - (
+            ts[None, :] > t_from[:, None]
+        ).astype(dtype)
+        add = xs[:, None] * w_full * jnp.asarray(_STOICH[1][2], dtype)
+        I_old = state[..., 2]  # [M, T]
+        onehot = (locs[:, None] == jnp.arange(M)[None, :]).astype(
+            dtype
+        )  # [L, M]
+        I_new = I_old + jnp.einsum("jm,jt->mt", onehot, add)
+        if commute is not None:
+            commute_old = commute  # [M, T] — already live
+        elif ctx.Cstar_bsr is not None:
+            commute_old = ctx.Cstar_bsr.matmul(I_old / ctx.N[:, None])
+        else:
+            commute_old = ctx.Cstar @ (I_old / ctx.N[:, None])
+        commute_new = commute_old + ctx.Cstar[:, locs] @ (
+            add / ctx.N[locs][:, None]
+        )
+        pref = ctx.exp_eta / ctx.N[:, None]
+        r_old = pref * (I_old + ctx.psi_w[None, :] * commute_old) + RATE_EPS
+        r_new = pref * (I_new + ctx.psi_w[None, :] * commute_new) + RATE_EPS
+        return jnp.sum(
+            _rate_diff_no_lgamma(
+                state[..., 0], events[..., 0], r_old, r_new
+            )
+        )
 
     def occult_delta(self, events, state, loc, t, x_signed, k,
                      commute=None):

@@ -594,25 +594,34 @@ def test_joint_move_delta_matches_serial_telescoped(rng):
         ([2, 6], [3, 15], [6, 12], [1.0, 3.0]),
         ([1, 4, 5], [10, 11, 9], [13, 8, 12], [2.0, 0.0, 1.0]),
     ]
-    for k in (0, 1):
-        for locs, t_f, t_d, xs in cases:
-            locs_a = jnp.asarray(locs)
-            tf_a, td_a = jnp.asarray(t_f), jnp.asarray(t_d)
-            xs_a = jnp.asarray(xs, jnp.float64)
-            joint = float(
-                we.joint_move_delta(events, state, locs_a, tf_a, td_a, xs_a, k)
-            )
-            ev_c, st_c, serial = events, state, 0.0
-            for i in range(len(locs)):
-                serial += float(
-                    we.move_delta(
-                        ev_c, st_c, locs_a[i], tf_a[i], td_a[i], xs_a[i], k
+    # W=6: L*W < T exercises the windowed (dedup-masked) branch; W=12:
+    # L*W >= T exercises the full-T rate-delta branch (UK-scale shape).
+    we_full = WindowedEvaluator(ctx=we.ctx, window=12)
+    for evaluator in (we, we_full):
+        for k in (0, 1):
+            for locs, t_f, t_d, xs in cases:
+                locs_a = jnp.asarray(locs)
+                tf_a, td_a = jnp.asarray(t_f), jnp.asarray(t_d)
+                xs_a = jnp.asarray(xs, jnp.float64)
+                joint = float(
+                    evaluator.joint_move_delta(
+                        events, state, locs_a, tf_a, td_a, xs_a, k
                     )
                 )
-                ev_c, st_c = apply_event_delta(
-                    ev_c, st_c, locs_a[i], tf_a[i], td_a[i], xs_a[i], k
+                ev_c, st_c, serial = events, state, 0.0
+                for i in range(len(locs)):
+                    serial += float(
+                        evaluator.move_delta(
+                            ev_c, st_c, locs_a[i], tf_a[i], td_a[i], xs_a[i],
+                            k,
+                        )
+                    )
+                    ev_c, st_c = apply_event_delta(
+                        ev_c, st_c, locs_a[i], tf_a[i], td_a[i], xs_a[i], k
+                    )
+                np.testing.assert_allclose(
+                    joint, serial, rtol=1e-9, atol=1e-9
                 )
-            np.testing.assert_allclose(joint, serial, rtol=1e-9, atol=1e-9)
 
 
 def test_occult_windowed_matches_full_interior_t_range(rng):
