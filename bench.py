@@ -107,6 +107,9 @@ def build(nchains, dtype_name="float32"):
         dmax=84, mmax=2, nmax=25, occult_nmax=15,
         num_event_time_updates=5, t_range=(T - 21, T),
         num_pair_updates=1,
+        # +3% at the bench's C=64 operating point (docs/profile_uk.md
+        # lever a); the library "auto" gate can't see the chain count.
+        thread_commute="always",
     )
     step_warm = make_mcmc_step(model, 16, cfg)
     step_sample = make_mcmc_step(
@@ -161,6 +164,7 @@ def build_real(nchains, data_file, dtype_name="float32"):
         dmax=84, mmax=2, nmax=25, occult_nmax=15,
         num_event_time_updates=5, t_range=(Tr - 21, Tr),
         num_pair_updates=1,
+        thread_commute="always",
     )
     step_warm = make_mcmc_step(model, 16, cfg)
     step_sample = make_mcmc_step(

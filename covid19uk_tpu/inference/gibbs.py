@@ -160,7 +160,11 @@ class EventKernelConfig(NamedTuple):
     # "auto" threads at M >= 1024: measured same-session on v5e, threading
     # is 1.13x at M=7000/C=1 (the product dominates) but 0.95x at
     # M=380/C=16 (the product is tiny; the [C,M,T] carry extension and the
-    # rank-1 full-T updates cost more than they save).  True/False force.
+    # rank-1 full-T updates cost more than they save).  Round 5 re-test on
+    # the single-apply stack at M=380/C=64: 1.03x (13.58 -> 13.19 ms/step)
+    # — the gate can't see the chain count (it's an outer vmap dim), so
+    # bench.py forces "always" at its C=64 operating point instead.
+    # True/False/"always"/"never" force.
     thread_commute: object = "auto"
 
 
@@ -212,6 +216,17 @@ def make_mcmc_step(
     M = model.data.num_locations
     if cfg.thread_commute == "auto":
         cfg = cfg._replace(thread_commute=M >= 1024)
+    elif cfg.thread_commute == "always":
+        cfg = cfg._replace(thread_commute=True)
+    elif cfg.thread_commute == "never":
+        cfg = cfg._replace(thread_commute=False)
+    if not isinstance(cfg.thread_commute, bool):
+        # Same footgun class as occult_guided: a stray truthy string
+        # (e.g. "never") must not silently enable threading.
+        raise ValueError(
+            "thread_commute must be a bool or one of 'auto'/'always'/"
+            f"'never', got {event_config.thread_commute!r}"
+        )
     # Resolve the occult_guided vocabulary to a bool and REJECT anything
     # else: a stray truthy string (e.g. "never" passed straight to the
     # NamedTuple instead of through the driver/CLI mapping) must not
