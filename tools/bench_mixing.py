@@ -249,7 +249,8 @@ def main():
     )
     min_ess = min(ess.values())
     argmin = min(ess, key=ess.get)
-    print(f"config: scale={args.scale} sweeps={args.sweeps} "
+    scale_label = f"data:{args.data}" if args.data else args.scale
+    print(f"config: scale={scale_label} sweeps={args.sweeps} "
           f"comp={not args.no_comp}x{args.comp_updates} "
           f"pair={args.pair_updates} "
           f"mmax={args.mmax} move_decay={args.move_decay} "
