@@ -110,6 +110,12 @@ def build(nchains, dtype_name="float32"):
         # +3% at the bench's C=64 operating point (docs/profile_uk.md
         # lever a); the library "auto" gate can't see the chain count.
         thread_commute="always",
+        # BENCH_FUSED=1 runs the whole 4-kernel multiscan as ONE Pallas
+        # launch per draw (ops/pallas/fused_sweep) — the launch-fusion
+        # lever (docs/profile_uk.md lever b) A/B knob.
+        fused_sweep=(
+            "always" if os.environ.get("BENCH_FUSED") == "1" else "never"
+        ),
     )
     step_warm = make_mcmc_step(model, 16, cfg)
     step_sample = make_mcmc_step(
@@ -165,6 +171,9 @@ def build_real(nchains, data_file, dtype_name="float32"):
         num_event_time_updates=5, t_range=(Tr - 21, Tr),
         num_pair_updates=1,
         thread_commute="always",
+        fused_sweep=(
+            "always" if os.environ.get("BENCH_FUSED") == "1" else "never"
+        ),
     )
     step_warm = make_mcmc_step(model, 16, cfg)
     step_sample = make_mcmc_step(

@@ -409,17 +409,25 @@ def run_mcmc(
     wf = jax.tree.map(shard, wf)
 
     # ---- Robbins–Monro acceptance autotuning of the move decays ----------
-    # Each move kernel's displacement decay is retuned between warmup
-    # windows toward config.move_accept_target (the reference's ~23% manual
-    # target, tex:325-326), then frozen for sampling.  Decays are traced
-    # scalars through the jit boundary, so retuning never recompiles.
+    # Each move kernel's displacement decay AND event-count (x) decay are
+    # retuned between warmup windows toward config.move_accept_target (the
+    # reference's ~23% manual target, tex:325-326), then frozen for
+    # sampling.  Decays are traced scalars through the jit boundary, so
+    # retuning never recompiles.  Both knobs raise acceptance when
+    # lowered; which one binds is scale-dependent — at UK scale the
+    # displacement decay has measured slope ~ -1.6 acceptance per
+    # log-decay unit, while at NI scale it is flat (round-5 telemetry:
+    # decays marched 0.85 -> 0.50 with acceptance pinned at 0.12-0.16)
+    # and the event-count decay does the work.  The same error signal
+    # drives both at half the single-knob gain, so the joint response
+    # stays inside the stability region gain*|slope| < 2.
     autotune = bool(getattr(config, "autotune_acceptance", False))
     accept_target = float(getattr(config, "move_accept_target", 0.23))
-    # log-decay random-walk: acceptance falls as decay rises (measured
-    # slope ~ -1.6 acceptance per log-decay unit at UK scale), so a gain
-    # of 0.8 stays well inside the stability region gain*|slope| < 2.
-    _RM_GAIN = 0.8
-    log_decays = [float(np.log(config.move_decay))] * 2
+    _RM_GAIN = 0.4
+    # [move_decay_se, move_decay_ei, x_decay_se, x_decay_ei] in log space
+    log_decays = [float(np.log(config.move_decay))] * 2 + [
+        float(np.log(config.x_decay))
+    ] * 2
     decays = (
         tuple(jnp.asarray(np.exp(ld), dtype) for ld in log_decays)
         if autotune
@@ -433,9 +441,13 @@ def run_mcmc(
         for i, tr in enumerate((traces.move_se, traces.move_ei)):
             acc = float(np.asarray(tr.is_accepted).mean())
             delta = float(np.clip(_RM_GAIN * (acc - accept_target), -0.5, 0.5))
-            log_decays[i] = float(
-                np.clip(log_decays[i] + delta, np.log(0.05), np.log(0.999999))
-            )
+            for j in (i, i + 2):  # displacement + event-count knob
+                log_decays[j] = float(
+                    np.clip(
+                        log_decays[j] + delta,
+                        np.log(0.05), np.log(0.999999),
+                    )
+                )
         decays = tuple(jnp.asarray(np.exp(ld), dtype) for ld in log_decays)
 
     def window(num_draws, adapt_mass):
@@ -486,6 +498,8 @@ def run_mcmc(
                 ),
                 move_decay_se=round(float(np.exp(log_decays[0])), 4),
                 move_decay_ei=round(float(np.exp(log_decays[1])), 4),
+                x_decay_se=round(float(np.exp(log_decays[2])), 4),
+                x_decay_ei=round(float(np.exp(log_decays[3])), 4),
             )
         log.event(
             "window", name=name, draws=n,
@@ -509,7 +523,11 @@ def run_mcmc(
         offset = int(offset)
         start_burst = int(extra.get("burst", 0))
         if autotune and "log_decays" in extra:
-            log_decays = [float(v) for v in extra["log_decays"]]
+            restored = [float(v) for v in extra["log_decays"]]
+            if len(restored) == 2:
+                # pre-round-5 checkpoint: x decays stay at config
+                restored += [float(np.log(config.x_decay))] * 2
+            log_decays = restored
             decays = tuple(
                 jnp.asarray(np.exp(ld), dtype) for ld in log_decays
             )

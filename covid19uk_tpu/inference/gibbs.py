@@ -41,6 +41,7 @@ from covid19uk_tpu.inference.likelihood import (
 )
 from covid19uk_tpu.models import seir
 from covid19uk_tpu.models.spec import constrain_parameters, unpack_parameters
+from covid19uk_tpu.ops.pallas import fused_sweep as _fs
 
 
 class ChainState(NamedTuple):
@@ -59,6 +60,15 @@ class HMCTunables(NamedTuple):
     # retuned decay never recompiles the window program.
     move_decay_se: object = None
     move_decay_ei: object = None
+    # Traced overrides of EventKernelConfig.x_decay for the MOVE kernels
+    # only (occults/pairs keep the static config value).  Round-5 NI
+    # telemetry showed move acceptance is *displacement*-decay-insensitive
+    # at small scale — the autotuner marched move_decay 0.85 -> 0.50 with
+    # acceptance pinned at 0.12-0.16 — because the binding rejection
+    # factor is the number of events moved per proposal.  Tuning the
+    # event-count decay alongside reaches the reference's ~0.23 band.
+    x_decay_se: object = None
+    x_decay_ei: object = None
 
 
 class StepTrace(NamedTuple):
@@ -154,6 +164,18 @@ class EventKernelConfig(NamedTuple):
     move_guided: object = "never"
     # Uniform-floor mixture weight for the guided move location weights.
     move_guide_floor: float = 0.1
+    # Run the whole 4-kernel multiscan as ONE Pallas kernel per draw
+    # (ops/pallas/fused_sweep): per-chain VMEM residency across all U x 4
+    # MH applications + narrow-window E->I deltas — the launch-fusion
+    # lever of docs/profile_uk.md.  Same proposals/Hastings/accept rules;
+    # the binomial pmf uses the same Stirling forms at f32 (in-kernel
+    # lgamma substitutes, error < 1e-5 — tests/test_fused_sweep.py).
+    # "auto"/"always"/"never"/bool; "auto" currently resolves False (the
+    # XLA path) — bench.py forces "always" at its measured operating
+    # point.  Incompatible with compensate_gamma0 / gamma_gibbs /
+    # move_guided (ValueError).  Pair updates compose: each multiscan
+    # runs fused-4-kernels then the XLA pair kernel.
+    fused_sweep: object = "never"
     # Thread the per-draw commute = Cstar @ (I/N) through the event sweep
     # (windowed deltas slice it instead of recomputing the [M,M]@[M,window]
     # product per eval; accepted E->I perturbations rank-1-update it).
@@ -248,6 +270,28 @@ def make_mcmc_step(
         val = getattr(cfg, field)
         if not (0.0 < val <= 1.0):
             raise ValueError(f"{field} must be in (0, 1], got {val!r}")
+    if cfg.fused_sweep == "auto":
+        cfg = cfg._replace(fused_sweep=False)
+    elif cfg.fused_sweep == "always":
+        cfg = cfg._replace(fused_sweep=True)
+    elif cfg.fused_sweep == "never":
+        cfg = cfg._replace(fused_sweep=False)
+    if not isinstance(cfg.fused_sweep, bool):
+        raise ValueError(
+            "fused_sweep must be a bool or one of 'auto'/'always'/'never',"
+            f" got {event_config.fused_sweep!r}"
+        )
+    if cfg.fused_sweep and (
+        cfg.compensate_gamma0
+        or cfg.gamma_gibbs
+        or cfg.move_guided
+        or (cfg.num_pair_updates > 0 and cfg.pair_compensate_gamma0)
+    ):
+        raise ValueError(
+            "fused_sweep is incompatible with compensate_gamma0 / "
+            "gamma_gibbs / move_guided / pair_compensate_gamma0 — "
+            "disable them or use the XLA sweep"
+        )
     move_window = min(cfg.dmax + 1, T)
     if not (0 <= cfg.t_range[0] < cfg.t_range[1] <= T):
         raise ValueError(
@@ -304,9 +348,10 @@ def make_mcmc_step(
         logp0 = hmc_info.target_log_prob  # logp(u_new, old events)
         g0_init = u_new[3]  # gamma0 (identity bijection at index 3)
 
-        if cfg.occult_guided:
+        if cfg.occult_guided and not cfg.fused_sweep:
             # Computed once per draw; see case_guide_logits for the
-            # state-independence / Hastings-cancellation argument.
+            # state-independence / Hastings-cancellation argument.  The
+            # fused kernel computes the identical weights in-kernel.
             guide_logits = case_guide_logits(
                 state.events, cfg.t_range, cfg.occult_guide_floor
             )
@@ -329,6 +374,106 @@ def make_mcmc_step(
             if tune.move_decay_ei is None
             else tune.move_decay_ei
         )
+        xd_se = cfg.x_decay if tune.x_decay_se is None else tune.x_decay_se
+        xd_ei = cfg.x_decay if tune.x_decay_ei is None else tune.x_decay_ei
+
+        if cfg.fused_sweep:
+            # ---- fused Pallas sweep: all U multiscans in ONE launch ----
+            # (ops/pallas/fused_sweep: per-chain VMEM residency across the
+            # U x 4 MH applications).  Kernel ORDER within a Gibbs sweep
+            # does not affect stationarity — each component kernel is
+            # individually reversible w.r.t. the same target — so the pair
+            # updates run as one XLA scan AFTER the fused multiscans
+            # instead of interleaved; per-draw application counts match
+            # the XLA path exactly (U x 4 + U * num_pair_updates).
+            k_fused, k_pair = jax.random.split(k_events)
+            ev_f, st_f, cm_f, logp_f, tr = _fs.fused_sweep(
+                k_fused, state.events, full_state, commute, logp0,
+                ctx0.exp_eta, ctx0.psi_w, ctx0.rate_ir_t, ctx0.N,
+                ctx0.Cstar, md_se, md_ei, cfg.x_decay,
+                x_decay_se=xd_se, x_decay_ei=xd_ei,
+                mmax=cfg.mmax, nmax=cfg.nmax, dmax=cfg.dmax,
+                occult_nmax=cfg.occult_nmax, t_range=cfg.t_range,
+                num_updates=cfg.num_event_time_updates,
+                occult_guided=cfg.occult_guided,
+                guide_floor=cfg.occult_guide_floor,
+                interpret=jax.default_backend() != "tpu",
+            )
+
+            # Adapt the kernel's [4, 2 + 4*mmax] trace block to the
+            # StepTrace contract (rows: move_se, move_ei, occult_se,
+            # occult_ei of the LAST multiscan — gemlib MultiScanKernel).
+            def _move_info(r):
+                c = [2 + j * cfg.mmax for j in range(5)]
+                return EventMoveInfo(
+                    is_accepted=tr[r, 0] > 0.5,
+                    target_log_prob=tr[r, 1].astype(dtype),
+                    m=tr[r, c[0]:c[1]].astype(dtype),
+                    t=tr[r, c[1]:c[2]].astype(dtype),
+                    delta_t=tr[r, c[2]:c[3]].astype(dtype),
+                    x_star=tr[r, c[3]:c[4]].astype(dtype),
+                )
+
+            def _occ_info(r):
+                return EventMoveInfo(
+                    is_accepted=tr[r, 0] > 0.5,
+                    target_log_prob=tr[r, 1].astype(dtype),
+                    m=tr[r, 2].astype(dtype),
+                    t=tr[r, 3].astype(dtype),
+                    delta_t=tr[r, 4].astype(dtype),
+                    x_star=tr[r, 5].astype(dtype),
+                )
+
+            def _zero_info(n):
+                return EventMoveInfo(
+                    is_accepted=jnp.zeros((), bool),
+                    target_log_prob=logp_f.astype(dtype),
+                    m=jnp.zeros((n,), dtype),
+                    t=jnp.zeros((n,), dtype),
+                    delta_t=jnp.zeros((n,), dtype),
+                    x_star=jnp.zeros((n,), dtype),
+                )
+
+            if cfg.num_pair_updates > 0:
+                # Commute stays threaded here regardless of
+                # cfg.thread_commute: the fused kernel keeps it live in
+                # VMEM and returns it exact, so the rank-1 update is free
+                # accuracy (the next draw's sweep needs it fresh anyway).
+                move_eval = WindowedEvaluator(ctx=ctx0, window=move_window)
+
+                def pair_scan(carry, kp):
+                    ev, st, cm, lp = carry
+                    ev, st, cm, lp, info = pair_move_step(
+                        kp, ev, st, lp, move_eval,
+                        cfg.dmax, cfg.pair_mmax, cfg.nmax,
+                        cfg.pair_move_decay, cfg.x_decay,
+                        commute=cm, guide_logits=None,
+                    )
+                    return (ev, st, cm, lp), info
+
+                n_pair = cfg.num_event_time_updates * cfg.num_pair_updates
+                (ev_f, st_f, _, logp_f), pinfos = jax.lax.scan(
+                    pair_scan, (ev_f, st_f, cm_f, logp_f),
+                    jax.random.split(k_pair, n_pair),
+                )
+                i_pair = jax.tree.map(lambda x: x[-1], pinfos)
+            else:
+                i_pair = _zero_info(cfg.pair_mmax)
+
+            trace = StepTrace(
+                hmc=hmc_info,
+                move_se=_move_info(0),
+                move_ei=_move_info(1),
+                occult_se=_occ_info(2),
+                occult_ei=_occ_info(3),
+                comp_ei=_zero_info(cfg.mmax),
+                pair=i_pair,
+                gamma=GammaGibbsInfo(
+                    is_accepted=jnp.zeros((), bool),
+                    log_accept_ratio=jnp.zeros((), dtype),
+                ),
+            )
+            return ChainState(u=u_new, events=ev_f), trace
 
         def potential(st):
             # log infectious person-time: the gamma0 likelihood ridge is
@@ -360,12 +505,12 @@ def make_mcmc_step(
             ka, kb, kc, kd, ke, kf = jax.random.split(k, 6)
             events, st, commute_live, logp, i_mse = unpack(event_move_step(
                 ka, events, st, logp, move_eval, 0,
-                cfg.dmax, cfg.mmax, cfg.nmax, md_se, cfg.x_decay,
+                cfg.dmax, cfg.mmax, cfg.nmax, md_se, xd_se,
                 commute=commute_live, guide_logits=move_guide,
             ))
             events, st, commute_live, logp, i_mei = unpack(event_move_step(
                 kb, events, st, logp, move_eval, 1,
-                cfg.dmax, cfg.mmax, cfg.nmax, md_ei, cfg.x_decay,
+                cfg.dmax, cfg.mmax, cfg.nmax, md_ei, xd_ei,
                 commute=commute_live, guide_logits=move_guide,
             ))
             events, st, commute_live, logp, i_ose = unpack(occult_step(

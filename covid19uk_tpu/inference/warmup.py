@@ -70,6 +70,16 @@ def make_window_runner(mcmc_step, num_draws: int, adapt_mass: bool):
                 inv_mass_diag=inv_mass,
                 move_decay_se=None if decays is None else decays[0],
                 move_decay_ei=None if decays is None else decays[1],
+                # event-count decays (4-tuple from the round-5 autotuner;
+                # 2-tuples from older callers leave them at config)
+                x_decay_se=(
+                    decays[2] if decays is not None and len(decays) > 2
+                    else None
+                ),
+                x_decay_ei=(
+                    decays[3] if decays is not None and len(decays) > 3
+                    else None
+                ),
             )
             state, trace = mcmc_step(k, state, tune, model)
             accept = jnp.exp(
@@ -102,6 +112,14 @@ def make_fixed_runner(mcmc_step, num_draws: int):
             inv_mass_diag=inv_mass,
             move_decay_se=None if decays is None else decays[0],
             move_decay_ei=None if decays is None else decays[1],
+            x_decay_se=(
+                decays[2] if decays is not None and len(decays) > 2
+                else None
+            ),
+            x_decay_ei=(
+                decays[3] if decays is not None and len(decays) > 3
+                else None
+            ),
         )
 
         def body(state, k):
