@@ -110,11 +110,14 @@ def build(nchains, dtype_name="float32"):
         # +3% at the bench's C=64 operating point (docs/profile_uk.md
         # lever a); the library "auto" gate can't see the chain count.
         thread_commute="always",
-        # BENCH_FUSED=1 runs the whole 4-kernel multiscan as ONE Pallas
-        # launch per draw (ops/pallas/fused_sweep) — the launch-fusion
-        # lever (docs/profile_uk.md lever b) A/B knob.
+        # Fused Pallas sweep: the whole 4-kernel multiscan as ONE launch
+        # per draw (ops/pallas/fused_sweep) — the launch-fusion lever of
+        # docs/profile_uk.md, measured same-session at C=64 (tools/
+        # bench_fused.py): 13.81 -> 10.97 ms/step (1.26x) on the timed
+        # no-pair stack, 20.47 -> 16.73 (1.22x) with pairs, acceptance
+        # matching.  BENCH_FUSED=0 opts out (A/B knob).
         fused_sweep=(
-            "always" if os.environ.get("BENCH_FUSED") == "1" else "never"
+            "never" if os.environ.get("BENCH_FUSED") == "0" else "always"
         ),
     )
     step_warm = make_mcmc_step(model, 16, cfg)
@@ -172,7 +175,7 @@ def build_real(nchains, data_file, dtype_name="float32"):
         num_pair_updates=1,
         thread_commute="always",
         fused_sweep=(
-            "always" if os.environ.get("BENCH_FUSED") == "1" else "never"
+            "never" if os.environ.get("BENCH_FUSED") == "0" else "always"
         ),
     )
     step_warm = make_mcmc_step(model, 16, cfg)

@@ -113,6 +113,13 @@ class McmcConfig:
     # Block-sparse operators for Cstar / the CAR precision: "auto"
     # (size/density gate in ModelData.create), "always", or "never".
     sparse: str = "auto"
+    # Fused Pallas event sweep (gibbs.EventKernelConfig fused_sweep): run
+    # the whole U x 4-kernel multiscan as ONE kernel launch per draw with
+    # the chain's planes VMEM-resident.  Same proposals/accept rules as
+    # the XLA sweep (distributional equivalence tested); requires a TPU
+    # (CPU falls back to the Pallas interpreter — correct but slow).
+    # "auto" currently resolves to the XLA path.
+    fused_sweep: str = "never"
     dtype: str = "float32"
     seed: int = 1
     # Geometric lag rates for the initialization imputation
@@ -177,7 +184,7 @@ class McmcConfig:
             raise ValueError(
                 f"Mcmc.sparse must be auto/always/never, got {self.sparse!r}"
             )
-        for name in ("occult_guided", "move_guided"):
+        for name in ("occult_guided", "move_guided", "fused_sweep"):
             if getattr(self, name) not in ("auto", "always", "never"):
                 raise ValueError(
                     f"Mcmc.{name} must be auto/always/never, got "

@@ -860,6 +860,7 @@ def mcmc(data_file, output_file, config):
         ],
         move_guide_floor=config.move_guide_floor,
         occult_guide_floor=config.occult_guide_floor,
+        fused_sweep=config.fused_sweep,
     )
 
     u0 = jnp.zeros((6 + (T - 1) + M,), dtype)  # reference inference.py:563-576

@@ -405,6 +405,34 @@ def test_full_step_fused_rejects_incompatible_knobs():
         make_mcmc_step(model, 2, base._replace(fused_sweep="sometimes"))
 
 
+def test_driver_mcmc_with_fused_config_knob(tmp_path, rng):
+    """The production driver path: Mcmc(fused_sweep="always") must run the
+    full warmup + burst pipeline (autotuned decays flow through the fused
+    kernel as traced scalars) and write a results store with the same
+    layout as the XLA path."""
+    import h5py
+
+    from covid19uk_tpu.inference.driver import mcmc
+    from tests.test_driver import make_synthetic_datafile
+
+    path = str(tmp_path / "data.h5")
+    make_synthetic_datafile(path, rng, M=3, T0=25)
+    cfg = dict(
+        dmax=4, nmax=8, m=2, occult_nmax=4, num_event_time_updates=2,
+        num_bursts=1, num_burst_samples=4, thin=1, dtype="float64",
+        seed=1, num_chains=2, fused_sweep="always",
+        warmup=dict(first_window=4, slow_window=4, num_slow_windows=1,
+                    last_window=4),
+    )
+    out = str(tmp_path / "fused.h5")
+    mcmc(path, out, cfg)
+    with h5py.File(out, "r") as f:
+        assert f["samples/psi"].shape[0] > 0
+        assert "results/move/S->E/is_accepted" in f
+        assert "results/occult/S->E/is_accepted" in f
+        assert np.all(np.isfinite(f["samples/seir"][:]))
+
+
 @pytest.mark.slow
 def test_full_step_fused_matches_xla_distribution():
     """End-to-end A/B through make_mcmc_step: the fused and XLA sweeps
