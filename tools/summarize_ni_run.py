@@ -175,6 +175,33 @@ def main():
     for label, (rate, target) in acc.items():
         tgt = f"{target:.2f}" if target is not None else "—"
         lines.append(f"| {label} | {rate:.3f} | {tgt} |")
+    # Autotuned proposal decays from the RunLog: the end-of-warmup values
+    # frozen for the sampling phase (driver Robbins–Monro loop).
+    log_path = os.path.join(wd, "run_log.jsonl")
+    if os.path.exists(log_path):
+        windows = [
+            json.loads(line)
+            for line in open(log_path)
+            if line.strip() and '"window"' in line
+        ]
+        windows = [w for w in windows if "move_decay_se" in w]
+        if windows:
+            w = windows[-1]
+            lines += [
+                "",
+                "Move-kernel proposals autotuned toward the documented 0.23 "
+                "target",
+                "(tex:325-326) during warmup, then frozen: displacement "
+                f"decays ({w['move_decay_se']:.3f}, "
+                f"{w['move_decay_ei']:.3f})"
+                + (
+                    f", event-count decays ({w['x_decay_se']:.3f}, "
+                    f"{w['x_decay_ei']:.3f})"
+                    if "x_decay_se" in w
+                    else ""
+                )
+                + " — full trajectory in `run_log.jsonl`.",
+            ]
     lines += [
         "",
         "## Downstream artifacts",
