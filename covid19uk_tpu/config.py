@@ -113,6 +113,16 @@ class McmcConfig:
     # Block-sparse operators for Cstar / the CAR precision: "auto"
     # (size/density gate in ModelData.create), "always", or "never".
     sparse: str = "auto"
+    # Let the acceptance autotuner drive the move kernels' EVENT-COUNT
+    # (x) decay alongside the displacement decay.  Measured round 5: at
+    # NI scale (M=11) the event count is the binding rejection factor —
+    # x-tuning reaches the documented 0.23 band and gamma0 ESS rises
+    # 154 -> 525 — but at UK scale (M=380, 2 seeds) forcing the band
+    # shrinks the moves and COSTS gamma0 ESS (37.2 -> 23.4 mean; the
+    # displacement knob alone lands at ~0.18 acceptance, which mixes
+    # better there).  "auto" enables x-tuning at M < 64; "always"/
+    # "never" force.
+    autotune_x: str = "auto"
     # Fused Pallas event sweep (gibbs.EventKernelConfig fused_sweep): run
     # the whole U x 4-kernel multiscan as ONE kernel launch per draw with
     # the chain's planes VMEM-resident.  Same proposals/accept rules as
@@ -184,7 +194,8 @@ class McmcConfig:
             raise ValueError(
                 f"Mcmc.sparse must be auto/always/never, got {self.sparse!r}"
             )
-        for name in ("occult_guided", "move_guided", "fused_sweep"):
+        for name in ("occult_guided", "move_guided", "fused_sweep",
+                     "autotune_x"):
             if getattr(self, name) not in ("auto", "always", "never"):
                 raise ValueError(
                     f"Mcmc.{name} must be auto/always/never, got "

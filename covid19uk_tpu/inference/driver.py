@@ -423,7 +423,16 @@ def run_mcmc(
     # stays inside the stability region gain*|slope| < 2.
     autotune = bool(getattr(config, "autotune_acceptance", False))
     accept_target = float(getattr(config, "move_accept_target", 0.23))
-    _RM_GAIN = 0.4
+    # x-knob participation is scale-gated (config.autotune_x): at NI
+    # scale it is the binding knob (band reached, gamma0 ESS 3.4x); at
+    # UK scale forcing the band via x shrinks moves and costs ESS.
+    _ax = getattr(config, "autotune_x", "auto")
+    autotune_x = (
+        model.data.num_locations < 64 if _ax == "auto" else _ax == "always"
+    )
+    # Single-knob gain 0.8 (r4 stability analysis); halved when the x
+    # knob joins so the joint response stays inside gain*|slope| < 2.
+    _RM_GAIN = 0.4 if autotune_x else 0.8
     # [move_decay_se, move_decay_ei, x_decay_se, x_decay_ei] in log space
     log_decays = [float(np.log(config.move_decay))] * 2 + [
         float(np.log(config.x_decay))
@@ -441,7 +450,8 @@ def run_mcmc(
         for i, tr in enumerate((traces.move_se, traces.move_ei)):
             acc = float(np.asarray(tr.is_accepted).mean())
             delta = float(np.clip(_RM_GAIN * (acc - accept_target), -0.5, 0.5))
-            for j in (i, i + 2):  # displacement + event-count knob
+            knobs = (i, i + 2) if autotune_x else (i,)
+            for j in knobs:  # displacement (+ event-count when gated on)
                 log_decays[j] = float(
                     np.clip(
                         log_decays[j] + delta,
