@@ -44,7 +44,14 @@ def test_calibration_study_reduced(rng):
     # chains moved
     assert fit["scalars"][:, 0, 3].std() >= 0  # smoke
     assert fit["hmc_accept"] > 0.1
-    # the truth arm starts AT the truth latents: its early person-time
-    # must equal the simulation's (no transient), and the two arms must
-    # differ (different initializations actually reached the fit)
-    assert results["truth"]["person_time_mean"] > 0
+    # the two arms start from different latents (imputed vs truth) and
+    # must actually reach the fit as distinct chains.  person_time here
+    # is a DEVIATION from the initial infectious count (sum_t I_t - I_0),
+    # so its sign is trajectory-dependent at this tiny scale — assert
+    # finiteness and arm separation, not sign.
+    for arm in ("imputed", "truth"):
+        assert np.isfinite(results[arm]["person_time_mean"])
+    assert (
+        results["truth"]["person_time_mean"]
+        != results["imputed"]["person_time_mean"]
+    )

@@ -214,7 +214,9 @@ def fit_batched(model, init_states, init_events, warm, draws, seed,
     if progress:
         progress(f"sampling {draws} draws x {C} chains: {wall:.0f}s")
 
-    u_scal = np.asarray(out[0], np.float64)  # [C, draws, 6] unconstrained
+    # np.array (copy): np.asarray of a jax array can be a READ-ONLY
+    # zero-copy view, and the in-place constrain below would raise
+    u_scal = np.array(out[0], np.float64)  # [C, draws, 6] unconstrained
     # softplus-constrain psi / sigma_space (spec packing order)
     u_scal[..., :2] = np.logaddexp(0.0, u_scal[..., :2])
     return dict(
